@@ -18,3 +18,23 @@ from parallelwavegan_tpu.layers.residual_block import (  # noqa: F401
     HiFiGANResidualBlock,
     WaveNetResidualBlock,
 )
+from parallelwavegan_tpu.layers.residual_stack import ResidualStack  # noqa: F401
+from parallelwavegan_tpu.layers.upsample import (  # noqa: F401
+    ConvInUpsampleNetwork,
+    UpsampleNetwork,
+    stretch_time,
+)
+from parallelwavegan_tpu.layers.tade import (  # noqa: F401
+    TADELayer,
+    TADEResBlock,
+    instance_norm_1d,
+)
+from parallelwavegan_tpu.layers.sine import SineGen  # noqa: F401
+from parallelwavegan_tpu.layers.vq import VQCodebook  # noqa: F401
+from parallelwavegan_tpu.layers.duration import (  # noqa: F401
+    DurationPredictor,
+    LayerNorm,
+    VariancePredictor,
+    length_regulator,
+    repeat_by_durations_np,
+)

@@ -13,14 +13,36 @@ from parallelwavegan_tpu.models.hifigan import (  # noqa: F401
     HiFiGANMultiScaleDiscriminator,
     HiFiGANMultiScaleMultiPeriodDiscriminator,
 )
+from parallelwavegan_tpu.models.melgan import (  # noqa: F401
+    MelGANGenerator,
+    MelGANDiscriminator,
+    MelGANMultiScaleDiscriminator,
+)
+from parallelwavegan_tpu.models.parallel_wavegan import (  # noqa: F401
+    ParallelWaveGANGenerator,
+    ParallelWaveGANDiscriminator,
+    ResidualParallelWaveGANDiscriminator,
+)
+from parallelwavegan_tpu.models.style_melgan import (  # noqa: F401
+    StyleMelGANGenerator,
+    StyleMelGANDiscriminator,
+)
 
 MODEL_REGISTRY = {
+    "ParallelWaveGANGenerator": ParallelWaveGANGenerator,
+    "ParallelWaveGANDiscriminator": ParallelWaveGANDiscriminator,
+    "ResidualParallelWaveGANDiscriminator": ResidualParallelWaveGANDiscriminator,
+    "MelGANGenerator": MelGANGenerator,
+    "MelGANDiscriminator": MelGANDiscriminator,
+    "MelGANMultiScaleDiscriminator": MelGANMultiScaleDiscriminator,
     "HiFiGANGenerator": HiFiGANGenerator,
     "HiFiGANPeriodDiscriminator": HiFiGANPeriodDiscriminator,
     "HiFiGANMultiPeriodDiscriminator": HiFiGANMultiPeriodDiscriminator,
     "HiFiGANScaleDiscriminator": HiFiGANScaleDiscriminator,
     "HiFiGANMultiScaleDiscriminator": HiFiGANMultiScaleDiscriminator,
     "HiFiGANMultiScaleMultiPeriodDiscriminator": HiFiGANMultiScaleMultiPeriodDiscriminator,
+    "StyleMelGANGenerator": StyleMelGANGenerator,
+    "StyleMelGANDiscriminator": StyleMelGANDiscriminator,
 }
 
 
