@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Benchmark harness: HiFi-GAN V1 decode RTF on one TPU chip.
+
+Prints exactly one JSON line:
+  {"metric": "hifigan_v1_decode_rtf", "value": <RTF>, "unit": "rtf",
+   "vs_baseline": <baseline / value>}
+
+Baseline: BASELINE.json's target (HiFi-GAN V1 decode RTF < 0.005 per v5e
+chip); vs_baseline > 1.0 means faster than target. The reference repo's
+closest published figure is PWG RTF 0.016 on TITAN V (README.md:148-152).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_RTF = 0.005  # BASELINE.json north-star target per v5e chip
+FS = 22050
+HOP = 256
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from parallelwavegan_tpu.models import get_model_class
+
+    # LJSpeech HiFi-GAN V1 generator (egs/ljspeech/voc1/conf/hifigan.v1.yaml)
+    G = get_model_class("HiFiGANGenerator")(
+        in_channels=80,
+        out_channels=1,
+        channels=512,
+        kernel_size=7,
+        upsample_scales=(8, 8, 2, 2),
+        upsample_kernel_sizes=(16, 16, 4, 4),
+        resblock_kernel_sizes=(3, 7, 11),
+        resblock_dilations=((1, 3, 5), (1, 3, 5), (1, 3, 5)),
+    )
+
+    frames = 512  # ~5.9 s of audio at 22.05 kHz / hop 256
+    c = jnp.asarray(np.random.RandomState(0).randn(1, frames, 80), jnp.float32)
+    key = jax.random.key(0)
+
+    params = jax.jit(G.init)(key, c)
+    fwd = jax.jit(G.apply)
+    y = fwd(params, c)
+    y.block_until_ready()  # compile
+
+    n_iters = 20
+    start = time.perf_counter()
+    for _ in range(n_iters):
+        y = fwd(params, c)
+    y.block_until_ready()
+    elapsed = (time.perf_counter() - start) / n_iters
+
+    audio_seconds = frames * HOP / FS
+    rtf = elapsed / audio_seconds
+    print(
+        json.dumps(
+            {
+                "metric": "hifigan_v1_decode_rtf",
+                "value": round(rtf, 6),
+                "unit": "rtf",
+                "vs_baseline": round(BASELINE_RTF / rtf, 3),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

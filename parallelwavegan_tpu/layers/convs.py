@@ -90,7 +90,7 @@ class _NormalizedKernel(nn.Module):
         norm: str | None,
         wn_axes: Sequence[int],
         kernel_init,
-        sn_reshape_out_axis: int = -1,
+        sn_perm: Sequence[int] = (2, 1, 0),
     ) -> Array:
         if norm is None:
             return self.param("kernel", kernel_init, shape)
@@ -104,29 +104,46 @@ class _NormalizedKernel(nn.Module):
             )
             return g * v / (_l2norm_keep(v, wn_axes) + 1e-12)
         if norm == "spectral":
+            # torch.nn.utils.spectral_norm semantics: persistent (u, v)
+            # estimates; one power iteration per *training* forward, none in
+            # eval; sigma = u^T W v with u, v as constants (gradient flows
+            # through W only).
             kernel = self.param("kernel", kernel_init, shape)
-            # torch reshapes weight to (dim0, -1) with dim0 = out-channels;
-            # our kernel layout puts out-channels last.
-            w = jnp.moveaxis(kernel, sn_reshape_out_axis, 0)
+            # torch reshapes its native-layout weight to (dim0, -1); sn_perm
+            # reorders our kernel into that exact layout so the stored
+            # (u, v) vectors stay index-compatible with torch checkpoints
+            w = jnp.transpose(kernel, tuple(sn_perm))
             w_mat = w.reshape(w.shape[0], -1)
-            u_var = self.variable(
-                "spectral",
-                "u",
-                lambda: jax.random.normal(
-                    self.make_rng("params") if self.is_initializing() else jax.random.key(0),
-                    (w_mat.shape[0],),
-                ),
+
+            def _init_vec(n, salt):
+                def init():
+                    key = (
+                        self.make_rng("params")
+                        if self.is_initializing() and self.has_rng("params")
+                        else jax.random.key(salt)
+                    )
+                    vec = jax.random.normal(key, (n,))
+                    return vec / (jnp.linalg.norm(vec) + 1e-12)
+
+                return init
+
+            u_var = self.variable("spectral", "u", _init_vec(w_mat.shape[0], 0))
+            v_var = self.variable("spectral", "v", _init_vec(w_mat.shape[1], 1))
+            u = jax.lax.stop_gradient(u_var.value)
+            v = jax.lax.stop_gradient(v_var.value)
+            train = (
+                self.is_mutable_collection("spectral")
+                and not self.is_initializing()
             )
-            u = u_var.value
-            # one power iteration (torch does the same per forward)
-            v_vec = w_mat.T @ u
-            v_vec = v_vec / (jnp.linalg.norm(v_vec) + 1e-12)
-            u_new = w_mat @ v_vec
-            u_new = u_new / (jnp.linalg.norm(u_new) + 1e-12)
-            if self.is_mutable_collection("spectral") and not self.is_initializing():
-                u_var.value = jax.lax.stop_gradient(u_new)
-            sigma = jnp.dot(u_new, w_mat @ v_vec)
-            sigma = jax.lax.stop_gradient(sigma)
+            if train:
+                wm = jax.lax.stop_gradient(w_mat)
+                v = wm.T @ u
+                v = v / (jnp.linalg.norm(v) + 1e-12)
+                u = wm @ v
+                u = u / (jnp.linalg.norm(u) + 1e-12)
+                u_var.value = u
+                v_var.value = v
+            sigma = jnp.dot(u, w_mat @ v)
             return kernel / (sigma + 1e-12)
         raise ValueError(f"unknown norm {norm!r}")
 
@@ -196,7 +213,7 @@ class ConvTranspose1d(_NormalizedKernel):
         # (Cin, Cout, K) layout) -> reduce K and Cout axes here.
         # torch spectral-norm also reshapes with dim0 = Cin.
         kernel = self._make_kernel(
-            shape, self.norm, (0, 2), kinit, sn_reshape_out_axis=1
+            shape, self.norm, (0, 2), kinit, sn_perm=(1, 2, 0)
         )
         bias = None
         if self.use_bias:
@@ -287,7 +304,9 @@ class Conv2dP(_NormalizedKernel):
         shape = (kh, kw, in_ch, self.features)
         fan_in = kh * kw * in_ch
         kinit = self.kernel_init or torch_conv_init(fan_in)
-        kernel = self._make_kernel(shape, self.norm, (0, 1, 2), kinit)
+        kernel = self._make_kernel(
+            shape, self.norm, (0, 1, 2), kinit, sn_perm=(3, 2, 0, 1)
+        )
         y = jax.lax.conv_general_dilated(
             x,
             kernel,

@@ -48,9 +48,10 @@ def ones_like_mean_init(kernel_size_prod: int):
 class UpsampleNetwork(nn.Module):
     """Per-scale stretch + smoothing conv: (B, T, C) -> (B, T*prod(scales), C).
 
-    The smoothing conv is unnormalized (no weight norm in the reference
-    either -- plain Conv2d with 1/k init, applied per (freq, time) patch
-    with a single image channel).
+    The smoothing conv is a bias-free Conv2d with 1/k init; inside the PWG
+    generator it carries weight norm like every other conv (the reference's
+    apply_weight_norm hits Conv2d too, models/parallel_wavegan.py:189-195),
+    hence the optional (g, v) parameterization here.
     """
 
     upsample_scales: Sequence[int]
@@ -59,6 +60,7 @@ class UpsampleNetwork(nn.Module):
     interpolate_mode: str = "nearest"
     freq_axis_kernel_size: int = 1
     use_causal_conv: bool = False
+    norm: str | None = None
 
     @nn.compact
     def __call__(self, c: Array) -> Array:
@@ -74,11 +76,17 @@ class UpsampleNetwork(nn.Module):
         for i, scale in enumerate(self.upsample_scales):
             c = stretch_time(c, scale)
             tk = scale * 2 + 1
-            kernel = self.param(
-                f"conv_{i}",
-                ones_like_mean_init(self.freq_axis_kernel_size * tk),
-                (tk, self.freq_axis_kernel_size, 1, 1),
-            )
+            shape = (tk, self.freq_axis_kernel_size, 1, 1)
+            kinit = ones_like_mean_init(self.freq_axis_kernel_size * tk)
+            if self.norm == "weight":
+                # torch WN dim=0 = out-channel = last axis of our HWIO kernel
+                v = self.param(f"conv_{i}_v", kinit, shape)
+                norm_v = jnp.sqrt(jnp.sum(jnp.square(v), axis=(0, 1, 2),
+                                          keepdims=True))
+                g = self.param(f"conv_{i}_g", lambda rng: norm_v)
+                kernel = g * v / (norm_v + 1e-12)
+            else:
+                kernel = self.param(f"conv_{i}", kinit, shape)
             if self.use_causal_conv:
                 # reference pads 2*scale both sides then trims the tail to
                 # the input length == left-pad 2*scale, right-pad 0
@@ -114,6 +122,7 @@ class ConvInUpsampleNetwork(nn.Module):
     aux_channels: int = 80
     aux_context_window: int = 0
     use_causal_conv: bool = False
+    norm: str | None = None
 
     @nn.compact
     def __call__(self, c: Array) -> Array:
@@ -127,7 +136,7 @@ class ConvInUpsampleNetwork(nn.Module):
             kernel_size=kernel_size,
             padding=0,
             use_bias=False,
-            norm=None,
+            norm=self.norm,
             kernel_init=kaiming_normal_relu_init(kernel_size * self.aux_channels),
             name="conv_in",
         )(c)
@@ -140,5 +149,6 @@ class ConvInUpsampleNetwork(nn.Module):
             interpolate_mode=self.interpolate_mode,
             freq_axis_kernel_size=self.freq_axis_kernel_size,
             use_causal_conv=self.use_causal_conv,
+            norm=self.norm,
             name="upsample",
         )(c)

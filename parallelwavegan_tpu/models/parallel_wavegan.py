@@ -34,21 +34,28 @@ Array = jax.Array
 
 def _build_upsample_net(upsample_net: str, upsample_params: dict, *,
                         aux_channels: int, aux_context_window: int,
-                        use_causal_conv: bool):
-    """Map reference upsample_net config strings to modules (ref :84-108)."""
+                        use_causal_conv: bool, norm: str | None):
+    """Map reference upsample_net config strings to modules (ref :84-108).
+
+    ``norm`` is the PWG generator's weight norm: the reference applies it
+    to every Conv1d/Conv2d including the upsample net's
+    (models/parallel_wavegan.py:189-195), and for the MelGANGenerator
+    upsample net it passes use_weight_norm=False only to avoid double
+    application before normalizing everything itself.
+    """
     params = dict(upsample_params)
     params["use_causal_conv"] = use_causal_conv
     if upsample_net == "ConvInUpsampleNetwork":
         params["aux_channels"] = aux_channels
         params["aux_context_window"] = aux_context_window
-        return ConvInUpsampleNetwork(**params, name="upsample_net")
+        return ConvInUpsampleNetwork(**params, norm=norm, name="upsample_net")
     if upsample_net == "UpsampleNetwork":
-        return UpsampleNetwork(**params, name="upsample_net")
+        return UpsampleNetwork(**params, norm=norm, name="upsample_net")
     if upsample_net == "MelGANGenerator":
         from parallelwavegan_tpu.models.melgan import MelGANGenerator
 
         assert aux_context_window == 0
-        params["use_weight_norm"] = False
+        params["use_weight_norm"] = norm == "weight"
         params["use_final_nonlinear_activation"] = False
         return MelGANGenerator(**params, name="upsample_net")
     raise ValueError(f"upsample_net {upsample_net!r} is not supported")
@@ -89,6 +96,7 @@ class ParallelWaveGANGenerator(nn.Module):
                 aux_channels=self.aux_channels,
                 aux_context_window=self.aux_context_window,
                 use_causal_conv=self.use_causal_conv,
+                norm=norm,
             )
             c = up(c)
             assert c.shape[1] == z.shape[1], (c.shape, z.shape)

@@ -1,0 +1,288 @@
+"""Steps-driven GAN trainer.
+
+Behavioral reference: /root/reference/parallel_wavegan/bin/train.py:49-643
+(steps- not epoch-driven loop; per-interval averaged scalar logging to
+TensorBoard; eval pass over the dev set with waveform/figure dumps of the
+first batch; checkpoint save every save_interval_steps and on exit).
+
+TPU design: the trainer is a thin host loop around the jitted step
+variants from step.py. Phase gating picks a variant host-side; batches are
+device_put asynchronously (the thread-prefetched loader overlaps IO);
+metrics transfer happens only at log intervals to keep the device queue
+full.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from collections import defaultdict
+
+import jax
+import numpy as np
+
+from parallelwavegan_tpu.parallel.mesh import make_mesh, shard_batch, shard_state
+from parallelwavegan_tpu.train.criterion import Criterion
+from parallelwavegan_tpu.train.state import TrainState
+from parallelwavegan_tpu.train.step import (
+    build_eval_step,
+    build_train_step,
+    make_generator_forward,
+)
+from parallelwavegan_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+
+class Trainer:
+    """Config-driven GAN training loop over jitted steps."""
+
+    def __init__(
+        self,
+        config: dict,
+        state: TrainState,
+        generator,
+        discriminator,
+        criterion: Criterion,
+        opt_g_tx,
+        opt_d_tx,
+        train_loader,
+        dev_loader=None,
+        outdir: str = "exp",
+        writer=None,
+        mesh=None,
+    ):
+        self.config = config
+        self.generator = generator
+        self.discriminator = discriminator
+        self.criterion = criterion
+        self.train_loader = train_loader
+        self.dev_loader = dev_loader
+        self.outdir = outdir
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.state = shard_state(state, self.mesh)
+        self.steps = int(jax.device_get(state.steps))
+        self.epochs = 0
+        self.finish_train = False
+        self.is_rank0 = jax.process_index() == 0
+
+        self._step_variants = {}
+        for train_g in (False, True):
+            for train_d in (False, True):
+                if not train_g and not train_d:
+                    continue
+                self._step_variants[(train_g, train_d)] = build_train_step(
+                    config,
+                    generator,
+                    discriminator,
+                    criterion,
+                    opt_g_tx,
+                    opt_d_tx,
+                    train_g=train_g,
+                    train_d=train_d,
+                )
+        self._eval_step = build_eval_step(
+            config, generator, discriminator, criterion
+        )
+        self._gen_forward = jax.jit(
+            make_generator_forward(config, generator), static_argnums=(4,)
+        )
+
+        self.writer = writer
+        if self.writer is None and self.is_rank0:
+            try:
+                from tensorboardX import SummaryWriter
+
+                self.writer = SummaryWriter(outdir)
+            except ImportError:  # pragma: no cover
+                self.writer = None
+
+        self.total_train_loss = defaultdict(float)
+        self._pending_metrics: list = []
+        self._rng = jax.random.key(config.get("seed", 0) + jax.process_index())
+        self._last_log_time = time.time()
+
+    # ------------------------------------------------------------------
+    def run(self):
+        """Train until train_max_steps, checkpointing on exit."""
+        self.tick = time.time()
+        try:
+            for batch in self.train_loader:
+                self._train_step(batch)
+                if self.is_rank0:
+                    self._check_log_interval()
+                    self._check_eval_interval()
+                    self._check_save_interval()
+                if self.finish_train:
+                    break
+        finally:
+            if self.is_rank0:
+                self.save_checkpoint(
+                    os.path.join(
+                        self.outdir, f"checkpoint-{self.steps}steps.pkl"
+                    )
+                )
+        logging.info("Finished training (%d steps).", self.steps)
+
+    # ------------------------------------------------------------------
+    def _phase_flags(self) -> tuple[bool, bool]:
+        train_g = self.steps > self.config.get("generator_train_start_steps", 0)
+        train_d = self.steps > self.config.get("discriminator_train_start_steps", 0)
+        if not train_g and not train_d:
+            # nothing trains this step in the reference either; run G-only
+            # so the step counter and data stream advance identically
+            return True, False
+        return train_g, train_d
+
+    def _train_step(self, batch):
+        train_g, train_d = self._phase_flags()
+        step_fn = self._step_variants[(train_g, train_d)]
+        batch = shard_batch(batch, self.mesh)
+        self._rng, rng = jax.random.split(self._rng)
+        self.state, metrics = step_fn(self.state, batch, rng)
+        self._pending_metrics.append(metrics)
+        self.steps += 1
+        if self.steps >= self.config["train_max_steps"]:
+            self.finish_train = True
+
+    def _drain_metrics(self):
+        """Host-transfer accumulated step metrics (batched for async)."""
+        if not self._pending_metrics:
+            return
+        got = jax.device_get(self._pending_metrics)
+        self._pending_metrics = []
+        for m in got:
+            for k, v in m.items():
+                self.total_train_loss[f"train/{k}"] += float(v)
+
+    # ------------------------------------------------------------------
+    def _check_log_interval(self):
+        interval = self.config.get("log_interval_steps", 100)
+        if self.steps % interval != 0 or self.steps == 0:
+            return
+        self._drain_metrics()
+        elapsed = time.time() - self._last_log_time
+        steps_per_sec = interval / max(elapsed, 1e-9)
+        self._last_log_time = time.time()
+        for key in sorted(self.total_train_loss):
+            value = self.total_train_loss[key] / interval
+            logging.info(
+                "(Steps: %d) %s = %.4f.", self.steps, key, value
+            )
+            if self.writer is not None:
+                self.writer.add_scalar(key, value, self.steps)
+        if self.writer is not None:
+            self.writer.add_scalar("train/steps_per_sec", steps_per_sec, self.steps)
+        logging.info(
+            "(Steps: %d) train/steps_per_sec = %.3f.", self.steps, steps_per_sec
+        )
+        self.total_train_loss = defaultdict(float)
+
+    # ------------------------------------------------------------------
+    def _check_eval_interval(self):
+        interval = self.config.get("eval_interval_steps", 1000)
+        if self.steps % interval != 0 or self.steps == 0:
+            return
+        if self.dev_loader is None:
+            return
+        logging.info("(Steps: %d) Start evaluation.", self.steps)
+        totals = defaultdict(float)
+        n_batches = 0
+        first_batch = None
+        self._rng, rng = jax.random.split(self._rng)
+        for batch in self.dev_loader.epoch_batches(0):
+            if first_batch is None:
+                first_batch = batch
+            m = self._eval_step(
+                self.state, shard_batch(batch, self.mesh), rng
+            )
+            m = jax.device_get(m)
+            for k, v in m.items():
+                totals[f"eval/{k}"] += float(v)
+            n_batches += 1
+        for key in sorted(totals):
+            value = totals[key] / max(n_batches, 1)
+            logging.info("(Steps: %d) %s = %.4f.", self.steps, key, value)
+            if self.writer is not None:
+                self.writer.add_scalar(key, value, self.steps)
+        if first_batch is not None:
+            try:
+                self._generate_and_save_intermediate_result(first_batch)
+            except Exception:  # pragma: no cover - plotting must not kill training
+                logging.exception("intermediate result generation failed")
+        logging.info(
+            "(Steps: %d) Finished evaluation (%d batches).", self.steps, n_batches
+        )
+
+    def _generate_and_save_intermediate_result(self, batch):
+        """Dump ref/gen waveform plots + wavs for a few dev items."""
+        from parallelwavegan_tpu.utils.io import write_wav
+
+        n = self.config.get("num_save_intermediate_results", 4)
+        dirname = os.path.join(self.outdir, "predictions", f"{self.steps}steps")
+        os.makedirs(dirname, exist_ok=True)
+        small = {
+            k: v[:n] for k, v in batch.items()
+        }
+        self._rng, rng = jax.random.split(self._rng)
+        y_ = self._gen_forward(
+            self.state.params_g, self.state.vars_g, shard_batch_to_host(small), rng,
+            False,
+        )
+        if self.config["generator_params"].get("out_channels", 1) > 1:
+            y_ = self.criterion.pqmf.synthesis(y_)
+        y_ = np.asarray(jax.device_get(y_))
+        y = small["y"]
+        fs = self.config["sampling_rate"]
+        have_mpl = True
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+        except ImportError:  # pragma: no cover
+            have_mpl = False
+        for idx in range(min(n, y_.shape[0])):
+            ref = y[idx, :, 0]
+            gen = y_[idx, :, 0]
+            write_wav(os.path.join(dirname, f"{idx}_ref.wav"), fs, ref)
+            write_wav(os.path.join(dirname, f"{idx}_gen.wav"), fs, gen)
+            if have_mpl:
+                fig = plt.figure(figsize=(6, 4))
+                for i, (sig, title) in enumerate(
+                    [(ref, "groundtruth speech"), (gen, "generated speech")], 1
+                ):
+                    ax = fig.add_subplot(2, 1, i)
+                    ax.plot(sig)
+                    ax.set_title(f"{title} @ {self.steps} steps")
+                fig.tight_layout()
+                fig.savefig(os.path.join(dirname, f"{idx}.png"))
+                plt.close(fig)
+
+    # ------------------------------------------------------------------
+    def _check_save_interval(self):
+        interval = self.config.get("save_interval_steps", 10000)
+        if self.steps % interval != 0 or self.steps == 0:
+            return
+        self.save_checkpoint(
+            os.path.join(self.outdir, f"checkpoint-{self.steps}steps.pkl")
+        )
+        logging.info("Saved checkpoint @ %d steps.", self.steps)
+
+    def save_checkpoint(self, path: str):
+        self._drain_metrics()
+        save_checkpoint(path, jax.device_get(self.state), epochs=self.epochs)
+
+    def load_checkpoint(self, path: str, load_only_params: bool = False):
+        state, epochs = load_checkpoint(
+            path, jax.device_get(self.state), load_only_params
+        )
+        self.state = shard_state(state, self.mesh)
+        self.epochs = epochs
+        self.steps = int(np.asarray(state.steps))
+
+
+def shard_batch_to_host(batch: dict) -> dict:
+    """Numpy batch -> jnp without mesh placement (small eval-side helper)."""
+    import jax.numpy as jnp
+
+    return {k: jnp.asarray(v) for k, v in batch.items()}

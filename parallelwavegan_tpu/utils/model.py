@@ -1,0 +1,229 @@
+"""Model loading + inference wrapper (the `load_model` public API).
+
+Behavioral reference: /root/reference/parallel_wavegan/utils/utils.py:294-360
+(config discovery from the checkpoint dir, generator-only weight load,
+stats registered for de-normalization, PQMF attachment for multi-band
+models with version-compat defaults, `upsample_kernal_sizes` typo remap
+:322-326) plus the per-family ``inference()`` methods in
+/root/reference/parallel_wavegan/models/*.py.
+
+TPU design: ``InferenceModel`` jits one forward per padded-length bucket
+(mel lengths are rounded up to a bucket multiple and the output trimmed),
+so arbitrary-length decoding hits a handful of compiled programs instead
+of one per utterance length.
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from parallelwavegan_tpu.ops.pqmf import PQMF
+from parallelwavegan_tpu.utils.checkpoint import load_generator_params
+from parallelwavegan_tpu.utils.config import load_config
+from parallelwavegan_tpu.utils.io import read_hdf5
+
+
+def _load_stats(stats_path: str):
+    if stats_path.endswith(".h5"):
+        mean = read_hdf5(stats_path, "mean").reshape(-1)
+        scale = read_hdf5(stats_path, "scale").reshape(-1)
+    else:
+        arr = np.load(stats_path)
+        mean = arr[0].reshape(-1)
+        scale = arr[1].reshape(-1)
+    return mean.astype(np.float32), scale.astype(np.float32)
+
+
+class InferenceModel:
+    """A generator + params bundle with a reference-compatible inference()."""
+
+    def __init__(self, generator, params, config, vars_g=None,
+                 mean=None, scale=None, pqmf=None, bucket: int = 32):
+        self.generator = generator
+        self.params = params
+        self.vars_g = vars_g or {}
+        self.config = config
+        self.mean = mean
+        self.scale = scale
+        self.pqmf = pqmf
+        self.bucket = bucket
+        self.generator_type = config.get("generator_type", "ParallelWaveGANGenerator")
+        self._jit_cache = {}
+
+    # -- family-specific padded forward ---------------------------------
+    def _forward_fn(self):
+        gen = self.generator
+        gtype = self.generator_type
+        variables = {"params": self.params, **self.vars_g}
+        pqmf = self.pqmf
+
+        if gtype == "ParallelWaveGANGenerator":
+            win = self.config["generator_params"].get("aux_context_window", 2)
+
+            def fn(c, z):
+                c = jnp.pad(c, ((win, win), (0, 0)), mode="edge")
+                y = gen.apply(variables, z[None, :, None], c[None])
+                return y[0]
+
+            return fn
+        if gtype == "StyleMelGANGenerator":
+            nuf = gen.noise_upsample_factor
+            uf = gen.upsample_factor
+
+            def fn(c, z):
+                # z: (ceil(T/nuf), in_channels) noise; pad mel to z-len * nuf
+                noise_len = z.shape[0]
+                pad = noise_len * nuf - c.shape[0]
+                c = jnp.pad(c, ((0, pad), (0, 0)), mode="edge")
+                y = gen.apply(variables, c[None], z[None])
+                return y[0]
+
+            return fn
+
+        def fn(c, z):
+            y = gen.apply(variables, c[None])
+            if pqmf is not None:
+                y = pqmf.synthesis(y)
+            return y[0]
+
+        return fn
+
+    def _compiled(self, padded_len: int, noise_len: int | None):
+        key = (padded_len, noise_len)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jax.jit(self._forward_fn())
+        return self._jit_cache[key]
+
+    def inference(self, c, normalize_before: bool = False, rng=None):
+        """mel (T', num_mels) -> waveform (T' * upsample_factor, out).
+
+        Mirrors each reference generator's ``inference`` (noise drawn
+        internally, mel context padding, PQMF synthesis, trim to the
+        nominal length).
+        """
+        c = np.asarray(c, dtype=np.float32)
+        if normalize_before:
+            assert self.mean is not None, "stats are not registered"
+            c = (c - self.mean) / self.scale
+        t = c.shape[0]
+        rng = rng if rng is not None else jax.random.key(np.random.randint(2**31))
+
+        if self.generator_type == "StyleMelGANGenerator":
+            nuf = self.generator.noise_upsample_factor
+            uf = self.generator.upsample_factor
+            noise_len = (t - 1) // nuf + 1
+            noise_len_p = -(-noise_len // 4) * 4
+            z = jax.random.normal(
+                rng, (noise_len_p, self.config["generator_params"].get(
+                    "in_channels", 128)))
+            pad_t = noise_len_p * nuf
+            c_p = np.pad(c, ((0, pad_t - t), (0, 0)), mode="edge")
+            y = self._compiled(pad_t, noise_len_p)(jnp.asarray(c_p), z)
+            return np.asarray(jax.device_get(y))[: t * uf]
+
+        upsample = self._upsample_factor()
+        pad_t = -(-t // self.bucket) * self.bucket
+        c_p = np.pad(c, ((0, pad_t - t), (0, 0)), mode="edge")
+        if self.generator_type == "ParallelWaveGANGenerator":
+            z = jax.random.normal(rng, (pad_t * upsample,))
+        else:
+            z = jnp.zeros((0,))
+        y = self._compiled(pad_t, None)(jnp.asarray(c_p), z)
+        y = np.asarray(jax.device_get(y))
+        return y[: t * upsample]
+
+    def _upsample_factor(self) -> int:
+        gp = self.config["generator_params"]
+        scales = gp.get("upsample_scales")
+        if scales is None and "upsample_params" in gp:
+            scales = gp["upsample_params"]["upsample_scales"]
+        if scales is None:
+            return 1
+        f = 1
+        for s in scales:
+            f *= s
+        return f
+
+
+def _is_torch_checkpoint(path: str) -> bool:
+    with open(path, "rb") as f:
+        head = f.read(4)
+    return head[:2] == b"PK" or (head[0] == 0x80 and head[1] <= 5)
+
+
+def load_model(checkpoint: str, config: dict | None = None,
+               stats: str | None = None) -> InferenceModel:
+    """Load a trained generator for inference.
+
+    Accepts native (msgpack) checkpoints and reference torch pickles
+    (converted on the fly via convert.torch_checkpoint).
+    """
+    from parallelwavegan_tpu.models import get_model_class
+
+    if config is None:
+        dirname = os.path.dirname(checkpoint)
+        config = load_config(os.path.join(dirname, "config.yml"))
+
+    generator_type = config.get("generator_type", "ParallelWaveGANGenerator")
+    # workaround for the reference's config typo (#295)
+    generator_params = {
+        k.replace("upsample_kernal_sizes", "upsample_kernel_sizes"): v
+        for k, v in config["generator_params"].items()
+    }
+    generator = get_model_class(generator_type)(**generator_params)
+
+    if _is_torch_checkpoint(checkpoint):
+        from parallelwavegan_tpu.convert.torch_checkpoint import (
+            convert_generator_state_dict,
+        )
+
+        params_g, vars_g = convert_generator_state_dict(
+            checkpoint, generator_type, generator_params
+        )
+    else:
+        params_g, vars_g, _ = load_generator_params(checkpoint)
+
+    # stats discovery (utils.py:331-343)
+    if stats is None:
+        dirname = os.path.dirname(checkpoint)
+        ext = "h5" if config.get("format", "hdf5") == "hdf5" else "npy"
+        cand = os.path.join(dirname, f"stats.{ext}")
+        if os.path.exists(cand):
+            stats = cand
+    mean = scale = None
+    if stats is not None and generator_type != "VQVAE":
+        mean, scale = _load_stats(stats)
+        logging.info("Successfully registered stats as buffer.")
+
+    pqmf = None
+    if config["generator_params"].get("out_channels", 1) > 1:
+        pqmf_params = dict(config.get("pqmf_params", {}))
+        version = str(config.get("version", "0.1.0"))
+        if not pqmf_params and _version_leq(version, "0.4.2"):
+            pqmf_params.update(taps=62, cutoff_ratio=0.15, beta=9.0)
+        pqmf = PQMF(
+            subbands=config["generator_params"]["out_channels"], **pqmf_params
+        )
+
+    return InferenceModel(
+        generator, params_g, config, vars_g=vars_g,
+        mean=mean, scale=scale, pqmf=pqmf,
+    )
+
+
+def _version_leq(a: str, b: str) -> bool:
+    def key(v):
+        parts = []
+        for tok in v.split("."):
+            num = "".join(ch for ch in tok if ch.isdigit())
+            parts.append(int(num) if num else 0)
+        return parts
+
+    return key(a) <= key(b)
