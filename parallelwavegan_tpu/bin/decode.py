@@ -61,6 +61,9 @@ def main():
     if (args.feats_scp is not None) == (args.dumpdir is not None):
         raise ValueError("Please specify either --dumpdir or --feats-scp.")
 
+    if config.get("generator_type") == "VQVAE":
+        return _decode_vqvae(args, config)
+
     fmt = config.get("format", "hdf5")
     if args.dumpdir is not None:
         if fmt == "hdf5":
@@ -96,13 +99,86 @@ def main():
         item = dataset[i]
         utt_id, c = item[0], item[1]
         start = time.time()
-        y = model.inference(c, normalize_before=args.normalize_before)
+        if args.use_f0_and_excitation:
+            f0, excitation = item[2], item[3]
+            y = model.inference(
+                c, normalize_before=args.normalize_before,
+                f0=f0, excitation=excitation,
+            )
+        else:
+            y = model.inference(c, normalize_before=args.normalize_before)
         y = np.asarray(y)[:, 0]
         rtf = (time.time() - start) / (len(y) / fs)
         pbar.set_postfix({"RTF": rtf})
         total_rtf += rtf
         write_wav(os.path.join(args.outdir, f"{utt_id}_gen.wav"), fs, y)
 
+    logging.info(
+        "Finished generation of %d utterances (RTF = %.06f).",
+        len(dataset), total_rtf / max(len(dataset), 1),
+    )
+
+
+def _decode_vqvae(args, config):
+    """VQ-VAE wave2wave decode: encode -> decode (+PQMF), dump symbols.
+
+    Behavioral reference: bin/decode.py:249-366 (per-utt encode/decode,
+    discrete-symbol text dump).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from parallelwavegan_tpu.data.datasets import AudioDataset, AudioSCPDataset
+    from parallelwavegan_tpu.models import get_model_class
+    from parallelwavegan_tpu.ops.pqmf import PQMF
+    from parallelwavegan_tpu.utils.checkpoint import load_generator_params
+
+    fmt = config.get("format", "hdf5")
+    if args.dumpdir is not None:
+        if fmt == "hdf5":
+            dataset = AudioDataset(
+                args.dumpdir, audio_query="*.h5",
+                audio_load_fn=lambda x: read_hdf5(x, "wave"),
+                return_utt_id=True,
+            )
+        else:
+            dataset = AudioDataset(
+                args.dumpdir, audio_query="*-wave.npy", audio_load_fn=np.load,
+                return_utt_id=True,
+            )
+    else:
+        dataset = AudioSCPDataset(args.feats_scp, return_utt_id=True)
+    logging.info("The number of features to be decoded = %d.", len(dataset))
+
+    model = get_model_class("VQVAE")(**config["generator_params"])
+    params, vars_g, _ = load_generator_params(args.checkpoint)
+    variables = {"params": params, **vars_g}
+    subbands = config["generator_params"].get("in_channels", 1)
+    pqmf = PQMF(subbands) if subbands > 1 else None
+
+    encode = jax.jit(lambda x: model.apply(variables, x, method="encode"))
+    decode = jax.jit(lambda i: model.apply(variables, i, method="decode"))
+
+    os.makedirs(args.outdir, exist_ok=True)
+    fs = config["sampling_rate"]
+    total_rtf = 0.0
+    with open(os.path.join(args.outdir, "text"), "w") as sym_f:
+        for i in tqdm(range(len(dataset))):
+            utt_id, audio = dataset[i][0], dataset[i][1]
+            x = jnp.asarray(np.asarray(audio, np.float32))[None, :, None]
+            start = time.time()
+            if pqmf is not None:
+                x = pqmf.analysis(x)
+            indices = encode(x)
+            y = decode(indices)
+            if pqmf is not None:
+                y = pqmf.synthesis(y)
+            y = np.asarray(jax.device_get(y))[0, :, 0]
+            rtf = (time.time() - start) / (len(y) / fs)
+            total_rtf += rtf
+            write_wav(os.path.join(args.outdir, f"{utt_id}_gen.wav"), fs, y)
+            syms = " ".join(str(int(s)) for s in np.asarray(indices)[0])
+            sym_f.write(f"{utt_id} {syms}\n")
     logging.info(
         "Finished generation of %d utterances (RTF = %.06f).",
         len(dataset), total_rtf / max(len(dataset), 1),

@@ -39,21 +39,24 @@ from parallelwavegan_tpu.train.state import init_train_state
 from parallelwavegan_tpu.utils.io import read_hdf5
 
 
-def feature_flags(generator_type: str) -> dict:
+def feature_flags(config: dict) -> dict:
     """Derive input-feature flags from generator_type (train.py:1109-1117)."""
+    generator_type = config.get("generator_type", "ParallelWaveGANGenerator")
     return {
-        "use_noise_input": generator_type in ("ParallelWaveGANGenerator",),
-        "use_aux_input": generator_type not in ("VQVAE",),
-        "use_duration": generator_type in ("DiscreteSymbolDurationGenerator",),
-        "use_f0_and_excitation": generator_type in ("UHiFiGANGenerator",),
-        "use_local_condition": False,
-        "use_global_condition": False,
+        "use_noise_input": (
+            "ParallelWaveGAN" in generator_type and "VQVAE" not in generator_type
+        ),
+        "use_aux_input": "VQVAE" not in generator_type,
+        "use_duration": "Duration" in generator_type,
+        "use_f0_and_excitation": generator_type == "UHiFiGANGenerator",
+        "use_local_condition": config.get("use_local_condition", False),
+        "use_global_condition": config.get("use_global_condition", False),
     }
 
 
 def build_dataset(config: dict, args, split: str):
     """Dataset over a dump dir or scp pair for one split."""
-    flags = feature_flags(config["generator_type"])
+    flags = feature_flags(config)
     rootdir = getattr(args, f"{split}_dumpdir", None)
     wav_scp = getattr(args, f"{split}_wav_scp", None)
     batch_max_steps = config["batch_max_steps"]
@@ -61,14 +64,27 @@ def build_dataset(config: dict, args, split: str):
     win = config["generator_params"].get("aux_context_window", 0)
     mel_threshold = batch_max_steps // hop_size + 2 * win
     if rootdir is not None:
+        local_kw = {}
         if config.get("format", "hdf5") == "hdf5":
             audio_query, mel_query = "*.h5", "*.h5"
             audio_load_fn = lambda x: read_hdf5(x, "wave")  # noqa: E731
             mel_load_fn = lambda x: read_hdf5(x, "feats")  # noqa: E731
+            if flags["use_local_condition"]:
+                local_kw["local_query"] = "*.h5"
+                local_kw["local_load_fn"] = lambda x: read_hdf5(x, "local")  # noqa: E731
+            if flags["use_global_condition"]:
+                local_kw["global_query"] = "*.h5"
+                local_kw["global_load_fn"] = lambda x: read_hdf5(x, "global")  # noqa: E731
         else:
             audio_query, mel_query = "*-wave.npy", "*-feats.npy"
             audio_load_fn = np.load
             mel_load_fn = np.load
+            if flags["use_local_condition"]:
+                local_kw["local_query"] = "*-local.npy"
+                local_kw["local_load_fn"] = np.load
+            if flags["use_global_condition"]:
+                local_kw["global_query"] = "*-global.npy"
+                local_kw["global_load_fn"] = np.load
         if flags["use_f0_and_excitation"]:
             return AudioMelF0ExcitationDataset(
                 rootdir,
@@ -82,10 +98,37 @@ def build_dataset(config: dict, args, split: str):
                 allow_cache=config.get("allow_cache", False),
             )
         if not flags["use_aux_input"]:
+            if flags["use_local_condition"]:
+                # VQ local conditioning rides the AudioMel dataset (the
+                # 'mel' slot holds the local features; ref train.py:1219)
+                return AudioMelDataset(
+                    rootdir,
+                    audio_query=audio_query,
+                    audio_load_fn=audio_load_fn,
+                    mel_query=local_kw["local_query"],
+                    mel_load_fn=local_kw["local_load_fn"],
+                    **(
+                        {
+                            "global_query": local_kw["global_query"],
+                            "global_load_fn": local_kw["global_load_fn"],
+                        }
+                        if flags["use_global_condition"]
+                        else {}
+                    ),
+                    allow_cache=config.get("allow_cache", False),
+                )
             return AudioDataset(
                 rootdir,
                 audio_query=audio_query,
                 audio_load_fn=audio_load_fn,
+                **(
+                    {
+                        "global_query": local_kw["global_query"],
+                        "global_load_fn": local_kw["global_load_fn"],
+                    }
+                    if flags["use_global_condition"]
+                    else {}
+                ),
                 allow_cache=config.get("allow_cache", False),
             )
         return AudioMelDataset(
@@ -152,7 +195,7 @@ def main():
         logging.info("%s = %s", key, value)
 
     gen_type = config["generator_type"]
-    flags = feature_flags(gen_type)
+    flags = feature_flags(config)
 
     train_dataset = build_dataset(config, args, "train")
     logging.info("The number of training files = %d.", len(train_dataset))

@@ -24,8 +24,15 @@ from parallelwavegan_tpu.models.parallel_wavegan import (  # noqa: F401
     ResidualParallelWaveGANDiscriminator,
 )
 from parallelwavegan_tpu.models.style_melgan import (  # noqa: F401
+    DiscreteSymbolStyleMelGANGenerator,
     StyleMelGANGenerator,
     StyleMelGANDiscriminator,
+)
+from parallelwavegan_tpu.models.uhifigan import UHiFiGANGenerator  # noqa: F401
+from parallelwavegan_tpu.models.vqvae import VQVAE  # noqa: F401
+from parallelwavegan_tpu.models.discrete import (  # noqa: F401
+    DiscreteSymbolDurationGenerator,
+    DiscreteSymbolHiFiGANGenerator,
 )
 
 MODEL_REGISTRY = {
@@ -43,6 +50,11 @@ MODEL_REGISTRY = {
     "HiFiGANMultiScaleMultiPeriodDiscriminator": HiFiGANMultiScaleMultiPeriodDiscriminator,
     "StyleMelGANGenerator": StyleMelGANGenerator,
     "StyleMelGANDiscriminator": StyleMelGANDiscriminator,
+    "DiscreteSymbolStyleMelGANGenerator": DiscreteSymbolStyleMelGANGenerator,
+    "UHiFiGANGenerator": UHiFiGANGenerator,
+    "VQVAE": VQVAE,
+    "DiscreteSymbolHiFiGANGenerator": DiscreteSymbolHiFiGANGenerator,
+    "DiscreteSymbolDurationGenerator": DiscreteSymbolDurationGenerator,
 }
 
 

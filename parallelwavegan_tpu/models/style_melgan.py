@@ -171,6 +171,92 @@ class StyleMelGANGenerator(nn.Module):
     requires_aux_input = True
 
 
+class DiscreteSymbolStyleMelGANGenerator(nn.Module):
+    """Discrete-unit StyleMelGAN (ref style_melgan.py:364-556).
+
+    Tokens (B, T, 2) — channel 0 unit ids, channel 1 speaker id — are
+    embedded (+speaker add/concat) and feed the StyleMelGAN trunk.
+    """
+
+    in_channels: int = 128
+    aux_channels: int = 128
+    channels: int = 64
+    out_channels: int = 1
+    num_embs: int = 100
+    num_spk_embs: int = 128
+    spk_emb_dim: int = 128
+    concat_spk_emb: bool = False
+    kernel_size: int = 9
+    dilation: int = 2
+    bias: bool = True
+    noise_upsample_scales: Sequence[int] = (11, 2, 2, 2)
+    noise_upsample_activation: str = "LeakyReLU"
+    noise_upsample_activation_params: Any = None
+    upsample_scales: Sequence[int] = (2, 2, 2, 2, 2, 2, 2, 2, 1)
+    upsample_mode: str = "nearest"
+    gated_function: str = "softmax"
+    use_weight_norm: bool = True
+
+    @nn.compact
+    def __call__(self, c: Array, z: Array | None = None) -> Array:
+        assert c.shape[-1] == 2
+        tokens = nn.Embed(self.num_embs, self.aux_channels, name="emb")(
+            c[..., 0].astype(jnp.int32)
+        )
+        spk = nn.Embed(self.num_spk_embs, self.spk_emb_dim, name="spk_emb")(
+            c[:, 0, 1].astype(jnp.int32)
+        )
+        if not self.concat_spk_emb:
+            assert self.aux_channels == self.spk_emb_dim
+            cond = tokens + spk[:, None, :]
+            aux_channels = self.aux_channels
+        else:
+            spk_b = jnp.broadcast_to(
+                spk[:, None, :], tokens.shape[:2] + (self.spk_emb_dim,)
+            )
+            cond = jnp.concatenate([tokens, spk_b], axis=-1)
+            aux_channels = self.aux_channels + self.spk_emb_dim
+        if z is None:
+            z = jax.random.normal(
+                self.make_rng("noise"), (cond.shape[0], 1, self.in_channels),
+                cond.dtype,
+            )
+        return _StyleMelGANTrunk(
+            in_channels=self.in_channels,
+            aux_channels=aux_channels,
+            channels=self.channels,
+            out_channels=self.out_channels,
+            kernel_size=self.kernel_size,
+            dilation=self.dilation,
+            bias=self.bias,
+            noise_upsample_scales=self.noise_upsample_scales,
+            noise_upsample_activation=self.noise_upsample_activation,
+            noise_upsample_activation_params=self.noise_upsample_activation_params,
+            upsample_scales=self.upsample_scales,
+            upsample_mode=self.upsample_mode,
+            gated_function=self.gated_function,
+            use_weight_norm=self.use_weight_norm,
+            name="trunk",
+        )(cond, z)
+
+    @property
+    def noise_upsample_factor(self) -> int:
+        f = 1
+        for s in self.noise_upsample_scales:
+            f *= s
+        return f
+
+    @property
+    def upsample_factor(self) -> int:
+        f = 1
+        for s in self.upsample_scales:
+            f *= s
+        return f
+
+    requires_noise_input = False
+    requires_aux_input = True
+
+
 class StyleMelGANDiscriminator(nn.Module):
     """Random-window discriminator over PQMF sub-band splits.
 

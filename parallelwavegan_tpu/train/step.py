@@ -37,28 +37,41 @@ def make_generator_forward(config: dict, generator) -> Callable:
 
     def forward(params_g, vars_g, batch, rng, train):
         variables = {"params": params_g, **vars_g}
+        rng_noise, rng_drop = jax.random.split(rng)
+        rngs = {"noise": rng_noise, "dropout": rng_drop}
         if gen_type in ("ParallelWaveGANGenerator",):
             return generator.apply(
-                variables, batch["z"], batch["c"], deterministic=not train
+                variables, batch["z"], batch["c"], deterministic=not train,
+                rngs=rngs,
             )
         if gen_type in ("StyleMelGANGenerator",):
-            return generator.apply(variables, batch["c"], rngs={"noise": rng})
+            return generator.apply(variables, batch["c"], rngs=rngs)
         if gen_type in ("UHiFiGANGenerator",):
             return generator.apply(
                 variables,
                 batch["excitation"],
                 batch["c"],
                 deterministic=not train,
+                rngs=rngs,
             )
-        if gen_type in (
-            "DiscreteSymbolHiFiGANGenerator",
-            "DiscreteSymbolStyleMelGANGenerator",
-        ):
+        if gen_type == "DiscreteSymbolStyleMelGANGenerator":
+            return generator.apply(variables, batch["c"], rngs=rngs)
+        if gen_type == "DiscreteSymbolHiFiGANGenerator":
             return generator.apply(variables, batch["c"])
         if gen_type == "DiscreteSymbolDurationGenerator":
-            return generator.apply(variables, batch["c"], batch["ds"])
+            # teacher-forced expansion length: total durations per sample
+            # equal the cropped frame count (y length / upsample factor)
+            factor = 1
+            for s in config["generator_params"].get(
+                "upsample_scales", (8, 8, 2, 2)
+            ):
+                factor *= s
+            out_length = batch["y"].shape[1] // factor
+            return generator.apply(
+                variables, batch["c"], batch["ds"], out_length,
+                deterministic=not train, rngs=rngs,
+            )
         if gen_type == "VQVAE":
-            # input is audio (possibly PQMF-analyzed host-side in the step)
             return generator.apply(
                 variables,
                 batch["y_in"],
@@ -90,6 +103,15 @@ def make_discriminator_forward(config: dict, discriminator) -> Callable:
 def _squeeze_wave(y):
     """(B, T, 1) -> (B, T) for the waveform-domain losses."""
     return y[..., 0] if y.ndim == 3 and y.shape[-1] == 1 else y
+
+
+def _with_vq_input(batch: dict, config: dict, criterion: Criterion) -> dict:
+    """VQVAE encoder input: raw audio, or its PQMF subbands (train.py:205-211)."""
+    if config["generator_params"].get("in_channels", 1) == 1:
+        y_in = batch["y"]
+    else:
+        y_in = criterion.pqmf.analysis(batch["y"])
+    return {**batch, "y_in": y_in}
 
 
 def _generator_losses(criterion: Criterion, config, y_, y, metrics):
@@ -145,6 +167,8 @@ def build_train_step(
         params_d, opt_d = state.params_d, state.opt_d
         vars_d = state.vars_d
         y = batch["y"]
+        if is_vq:
+            batch = _with_vq_input(batch, config, criterion)
 
         if train_g:
 
@@ -256,6 +280,8 @@ def build_eval_step(config, generator, discriminator, criterion: Criterion):
         metrics = {}
         rng_g, rng_d = jax.random.split(rng)
         y = batch["y"]
+        if is_vq:
+            batch = _with_vq_input(batch, config, criterion)
         if is_vq:
             y_, z_e, z_q = gen_forward(
                 state.params_g, state.vars_g, batch, rng_g, False

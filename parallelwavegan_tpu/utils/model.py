@@ -87,6 +87,16 @@ class InferenceModel:
 
             return fn
 
+        if gtype in (
+            "DiscreteSymbolHiFiGANGenerator",
+            "DiscreteSymbolStyleMelGANGenerator",
+        ):
+
+            def fn(c, z):
+                return gen.apply(variables, c[None].astype("int32"))[0]
+
+            return fn
+
         def fn(c, z):
             y = gen.apply(variables, c[None])
             if pqmf is not None:
@@ -101,13 +111,24 @@ class InferenceModel:
             self._jit_cache[key] = jax.jit(self._forward_fn())
         return self._jit_cache[key]
 
-    def inference(self, c, normalize_before: bool = False, rng=None):
+    def inference(self, c, normalize_before: bool = False, rng=None,
+                  f0=None, excitation=None):
         """mel (T', num_mels) -> waveform (T' * upsample_factor, out).
 
         Mirrors each reference generator's ``inference`` (noise drawn
         internally, mel context padding, PQMF synthesis, trim to the
         nominal length).
         """
+        if self.generator_type == "UHiFiGANGenerator":
+            return self._inference_uhifigan(
+                np.asarray(c, np.float32), excitation, normalize_before
+            )
+        if self.generator_type in (
+            "DiscreteSymbolHiFiGANGenerator",
+            "DiscreteSymbolStyleMelGANGenerator",
+            "DiscreteSymbolDurationGenerator",
+        ):
+            return self._inference_discrete(np.asarray(c), rng)
         c = np.asarray(c, dtype=np.float32)
         if normalize_before:
             assert self.mean is not None, "stats are not registered"
@@ -138,6 +159,88 @@ class InferenceModel:
         y = self._compiled(pad_t, None)(jnp.asarray(c_p), z)
         y = np.asarray(jax.device_get(y))
         return y[: t * upsample]
+
+    def _inference_uhifigan(self, c, excitation, normalize_before):
+        """UHiFiGAN: (mel (T', C), excitation per-sample) -> wave."""
+        import jax
+
+        if normalize_before:
+            c = (c - self.mean) / self.scale
+        t = c.shape[0]
+        factor = 1
+        for s in self.config["generator_params"].get("upsample_scales",
+                                                     (8, 8, 2, 2)):
+            factor *= s
+        excitation = np.asarray(excitation, np.float32).reshape(-1, 1)
+        excitation = excitation[: t * factor]
+        if len(excitation) < t * factor:
+            excitation = np.pad(
+                excitation, ((0, t * factor - len(excitation)), (0, 0))
+            )
+        key = ("uhifigan", t)
+        if key not in self._jit_cache:
+            gen = self.generator
+            variables = {"params": self.params, **self.vars_g}
+            self._jit_cache[key] = jax.jit(
+                lambda e, cc: gen.apply(variables, e[None], cc[None])[0]
+            )
+        y = self._jit_cache[key](jnp.asarray(excitation), jnp.asarray(c))
+        return np.asarray(jax.device_get(y))
+
+    def _inference_discrete(self, c, rng):
+        """Discrete tokens (T, 1|2) -> wave; duration variant predicts ds."""
+        import jax
+
+        if c.ndim == 1:
+            c = c[:, None]
+        gtype = self.generator_type
+        variables = {"params": self.params, **self.vars_g}
+        gen = self.generator
+        if gtype == "DiscreteSymbolDurationGenerator":
+            from parallelwavegan_tpu.layers.duration import repeat_by_durations_np
+
+            cj = jnp.asarray(c.astype(np.int32))[None]
+            ds = np.asarray(
+                gen.apply(variables, cj, method="predict_durations")
+            )[0]
+            emb = np.asarray(gen.apply(variables, cj, method="embed_tokens"))[0]
+            expanded = repeat_by_durations_np(emb, ds)
+            key = ("discrete_dur", expanded.shape[0])
+            if key not in self._jit_cache:
+                self._jit_cache[key] = jax.jit(
+                    lambda e: gen.apply(
+                        variables, e[None], method="decode_expanded"
+                    )[0]
+                )
+            y = self._jit_cache[key](jnp.asarray(expanded))
+            return np.asarray(jax.device_get(y))
+        rng = rng if rng is not None else jax.random.key(
+            np.random.randint(2**31)
+        )
+        if gtype == "DiscreteSymbolStyleMelGANGenerator":
+            nuf = gen.noise_upsample_factor
+            uf = gen.upsample_factor
+            t = c.shape[0]
+            noise_len = (t - 1) // nuf + 1
+            pad_t = noise_len * nuf
+            c_p = np.pad(c, ((0, pad_t - t), (0, 0)), mode="edge")
+            z = jax.random.normal(
+                rng,
+                (1, noise_len,
+                 self.config["generator_params"].get("in_channels", 128)),
+            )
+            key = ("discrete_style", pad_t)
+            if key not in self._jit_cache:
+                self._jit_cache[key] = jax.jit(
+                    lambda cc, zz: gen.apply(
+                        variables, cc[None].astype("int32"), zz
+                    )[0]
+                )
+            y = self._jit_cache[key](jnp.asarray(c_p), z)
+            return np.asarray(jax.device_get(y))[: t * uf]
+        fwd = self._compiled(c.shape[0], None)
+        y = fwd(jnp.asarray(c.astype(np.float32)), jnp.zeros((0,)))
+        return np.asarray(jax.device_get(y))
 
     def _upsample_factor(self) -> int:
         gp = self.config["generator_params"]
