@@ -163,12 +163,20 @@ class Conv1d(_NormalizedKernel):
     bias_init: Callable | None = None
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array, *, return_params: bool = False):
         in_ch = x.shape[-1]
         shape = (self.kernel_size, in_ch // self.groups, self.features)
         fan_in = shape[0] * shape[1]
         kinit = self.kernel_init or torch_conv_init(fan_in)
         kernel = self._make_kernel(shape, self.norm, (0, 1), kinit)
+        if return_params:
+            # fused-kernel path: expose the effective (normalized) kernel
+            # and bias without running the conv (same param tree)
+            bias = None
+            if self.use_bias:
+                binit = self.bias_init or torch_conv_init(fan_in)
+                bias = self.param("bias", binit, (self.features,))
+            return kernel, bias
         padding = self.padding
         if padding == "same":
             padding = (self.kernel_size - 1) // 2 * self.dilation

@@ -57,9 +57,12 @@ class WaveNetResidualBlock(nn.Module):
     use_bias: bool = True
     use_causal_conv: bool = False
     norm: str | None = "weight"
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: Array, c: Array | None, *, deterministic: bool = True):
+        if self.use_pallas and c is not None and self.use_bias:
+            return self._fused(x, c, deterministic)
         residual = x
         if self.dropout > 0.0:
             x = nn.Dropout(rate=self.dropout, deterministic=deterministic)(x)
@@ -113,6 +116,68 @@ class WaveNetResidualBlock(nn.Module):
         )(x)
         x = (x + residual) * math.sqrt(0.5)
         return x, s
+
+    def _fused(self, x: Array, c: Array, deterministic: bool):
+        """Single fused Pallas kernel over the whole block (same params)."""
+        from parallelwavegan_tpu.ops.pallas_kernels.wavenet import (
+            fused_gated_resblock,
+        )
+
+        if self.dropout > 0.0:
+            x = nn.Dropout(rate=self.dropout, deterministic=deterministic)(x)
+        kinit = kaiming_normal_relu_init(self.kernel_size * self.residual_channels)
+        half = self.gate_channels // 2
+        conv_kernel, conv_bias = Conv1d(
+            features=self.gate_channels,
+            kernel_size=self.kernel_size,
+            dilation=self.dilation,
+            use_bias=self.use_bias,
+            norm=self.norm,
+            kernel_init=kinit,
+            bias_init=zeros_init(),
+            name="conv",
+        )(x, return_params=True)
+        aux_kernel, _ = Conv1d(
+            features=self.gate_channels,
+            kernel_size=1,
+            use_bias=False,
+            norm=self.norm,
+            kernel_init=kaiming_normal_relu_init(self.aux_channels),
+            name="conv1x1_aux",
+        )(c, return_params=True)
+        gated_dummy = jnp.zeros(x.shape[:2] + (half,), x.dtype)
+        skip_kernel, skip_bias = Conv1d(
+            features=self.skip_channels,
+            kernel_size=1,
+            use_bias=self.use_bias,
+            norm=self.norm,
+            kernel_init=kaiming_normal_relu_init(half),
+            bias_init=zeros_init(),
+            name="conv1x1_skip",
+        )(gated_dummy, return_params=True)
+        res_kernel, res_bias = Conv1d(
+            features=self.residual_channels,
+            kernel_size=1,
+            use_bias=self.use_bias,
+            norm=self.norm,
+            kernel_init=kaiming_normal_relu_init(half),
+            bias_init=zeros_init(),
+            name="conv1x1_out",
+        )(gated_dummy, return_params=True)
+        res, skip = fused_gated_resblock(
+            x,
+            c,
+            conv_kernel,
+            conv_bias,
+            aux_kernel[0],
+            skip_kernel[0],
+            skip_bias,
+            res_kernel[0],
+            res_bias,
+            self.dilation,
+            self.use_causal_conv,
+        )
+        return res, skip
 
 
 class HiFiGANResidualBlock(nn.Module):

@@ -81,6 +81,7 @@ class ParallelWaveGANGenerator(nn.Module):
     upsample_conditional_features: bool = True
     upsample_net: str = "ConvInUpsampleNetwork"
     upsample_params: Any = None
+    use_pallas_kernels: bool = False
 
     @nn.compact
     def __call__(self, z: Array, c: Array | None, *,
@@ -124,6 +125,7 @@ class ParallelWaveGANGenerator(nn.Module):
                 use_bias=self.bias,
                 use_causal_conv=self.use_causal_conv,
                 norm=norm,
+                use_pallas=self.use_pallas_kernels,
                 name=f"conv_layers_{layer}",
             )(x, c, deterministic=deterministic)
             skips += h
