@@ -33,6 +33,13 @@ from parallelwavegan_tpu.models import get_model_class  # noqa: E402
 TOL = 2e-4
 
 
+@pytest.fixture(autouse=True)
+def _seed_torch():
+    # torch inits use the global RNG; pin it so the spectral-norm scale
+    # (near-singular at init) is reproducible across runs
+    torch.manual_seed(0)
+
+
 def _np_sd(m):
     return {k: v.detach().numpy() for k, v in m.state_dict().items()}
 
