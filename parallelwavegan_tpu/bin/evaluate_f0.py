@@ -1,0 +1,97 @@
+"""Objective evaluation CLI: F0 metrics (log-F0 RMSE, semitone acc, VUV).
+
+Behavioral reference: /root/reference/parallel_wavegan/bin/evaluate_f0.py
+(pyworld F0 + DTW + multiprocess fan-out). F0 here is the YIN tracker
+from ops/f0.py; alignment is mel-cepstral DTW as in evaluate_mcd.
+"""
+
+from __future__ import annotations
+
+import argparse
+import fnmatch
+import logging
+import multiprocessing as mp
+import os
+
+import numpy as np
+
+from parallelwavegan_tpu.ops.metrics import f0_metrics
+from parallelwavegan_tpu.utils.io import find_files, read_wav
+
+
+def _evaluate_one(args_tuple):
+    gen_path, gt_path, f0min, f0max = args_tuple
+    utt_id = os.path.basename(gen_path).replace("_gen.wav", "")
+    fs_gen, gen = read_wav(gen_path)
+    fs_gt, gt = read_wav(gt_path)
+    assert fs_gen == fs_gt, f"{utt_id}: fs mismatch"
+    m = f0_metrics(gen, gt, fs_gen, f0min=f0min, f0max=f0max)
+    return utt_id, m
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Evaluate F0 metrics.")
+    parser.add_argument("--wavdir", type=str, required=True)
+    parser.add_argument("--gt-wavdir", type=str, required=True)
+    parser.add_argument("--outdir", type=str, default=None)
+    parser.add_argument("--f0min", type=float, default=70.0)
+    parser.add_argument("--f0max", type=float, default=340.0)
+    parser.add_argument("--n_jobs", type=int, default=8)
+    parser.add_argument("--verbose", type=int, default=1)
+    args = parser.parse_args()
+
+    logging.basicConfig(
+        level=logging.INFO if args.verbose > 0 else logging.WARN,
+        format="%(asctime)s (%(module)s:%(lineno)d) %(levelname)s: %(message)s",
+    )
+
+    gen_files = sorted(find_files(args.wavdir, "*_gen.wav"))
+    if not gen_files:
+        gen_files = sorted(find_files(args.wavdir, "*.wav"))
+    gt_index = {
+        os.path.splitext(os.path.basename(f))[0]: f
+        for f in find_files(args.gt_wavdir, "*.wav")
+    }
+    pairs = []
+    for g in gen_files:
+        utt = os.path.basename(g).replace("_gen.wav", "").replace(".wav", "")
+        match = gt_index.get(utt) or next(
+            (v for k, v in gt_index.items() if fnmatch.fnmatch(k, f"{utt}*")),
+            None,
+        )
+        if match is None:
+            logging.warning("no ground truth for %s; skipped.", utt)
+            continue
+        pairs.append((g, match, args.f0min, args.f0max))
+    logging.info("number of utterances = %d", len(pairs))
+
+    with mp.Pool(args.n_jobs) as pool:
+        results = pool.map(_evaluate_one, pairs)
+    results.sort(key=lambda r: r[0])
+
+    keys = ["log_f0_rmse", "semitone_acc", "vuv_error_rate"]
+    summary = {}
+    for k in keys:
+        vals = np.array([r[1][k] for r in results], dtype=np.float64)
+        vals = vals[np.isfinite(vals)]
+        summary[k] = (float(vals.mean()) if len(vals) else float("nan"),
+                      float(vals.std()) if len(vals) else float("nan"))
+        logging.info("%s: %.4f +- %.4f", k, *summary[k])
+
+    if args.outdir is not None:
+        os.makedirs(args.outdir, exist_ok=True)
+        with open(os.path.join(args.outdir, "utt2f0"), "w") as f:
+            for utt_id, m in results:
+                f.write(
+                    f"{utt_id} "
+                    + " ".join(f"{m[k]:.4f}" for k in keys)
+                    + "\n"
+                )
+        with open(os.path.join(args.outdir, "avg_f0"), "w") as f:
+            for k in keys:
+                f.write(f"{k} {summary[k][0]:.4f} +- {summary[k][1]:.4f}\n")
+        logging.info("Saved results to %s.", args.outdir)
+
+
+if __name__ == "__main__":
+    main()

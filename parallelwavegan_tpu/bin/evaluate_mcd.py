@@ -1,0 +1,103 @@
+"""Objective evaluation CLI: mel-cepstral distortion.
+
+Behavioral reference: /root/reference/parallel_wavegan/bin/evaluate_mcd.py
+(pysptk mcep + fastdtw + multiprocess fan-out; fs-dependent mcep params
+:106-118). Invoked as ``python -m parallelwavegan_tpu.bin.evaluate_mcd``
+like the reference recipe stage 4 (egs/m4singer/voc1/run.sh:188).
+"""
+
+from __future__ import annotations
+
+import argparse
+import fnmatch
+import logging
+import multiprocessing as mp
+import os
+
+import numpy as np
+
+from parallelwavegan_tpu.ops.metrics import mel_cepstral_distortion
+from parallelwavegan_tpu.utils.io import find_files, read_wav
+
+
+def _mcep_params_for_fs(fs: int) -> dict:
+    """fs-dependent analysis settings (reference :106-118 uses fs-scaled
+    fft/shift and mcep order; mirrored here with mel counts)."""
+    if fs <= 8000:
+        return {"n_fft": 256, "hop": 80, "n_mels": 26}
+    if fs <= 16000:
+        return {"n_fft": 512, "hop": 160, "n_mels": 30}
+    if fs <= 22050:
+        return {"n_fft": 1024, "hop": 256, "n_mels": 34}
+    if fs <= 24000:
+        return {"n_fft": 1024, "hop": 256, "n_mels": 34}
+    return {"n_fft": 2048, "hop": 480, "n_mels": 38}
+
+
+def _evaluate_one(pair):
+    gen_path, gt_path = pair
+    utt_id = os.path.basename(gen_path).replace("_gen.wav", "")
+    fs_gen, gen = read_wav(gen_path)
+    fs_gt, gt = read_wav(gt_path)
+    assert fs_gen == fs_gt, f"{utt_id}: fs mismatch"
+    params = _mcep_params_for_fs(fs_gen)
+    mcd = mel_cepstral_distortion(gen, gt, fs_gen, **params)
+    return utt_id, mcd
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Evaluate MCD (gen vs GT).")
+    parser.add_argument("--wavdir", type=str, required=True,
+                        help="directory with generated *_gen.wav files")
+    parser.add_argument("--gt-wavdir", type=str, required=True,
+                        help="directory with ground-truth wavs")
+    parser.add_argument("--outdir", type=str, default=None)
+    parser.add_argument("--n_jobs", type=int, default=8)
+    parser.add_argument("--verbose", type=int, default=1)
+    args = parser.parse_args()
+
+    logging.basicConfig(
+        level=logging.INFO if args.verbose > 0 else logging.WARN,
+        format="%(asctime)s (%(module)s:%(lineno)d) %(levelname)s: %(message)s",
+    )
+
+    gen_files = sorted(find_files(args.wavdir, "*_gen.wav"))
+    if not gen_files:
+        gen_files = sorted(find_files(args.wavdir, "*.wav"))
+    gt_index = {
+        os.path.splitext(os.path.basename(f))[0]: f
+        for f in find_files(args.gt_wavdir, "*.wav")
+    }
+    pairs = []
+    for g in gen_files:
+        utt = os.path.basename(g).replace("_gen.wav", "").replace(".wav", "")
+        match = gt_index.get(utt) or next(
+            (v for k, v in gt_index.items() if fnmatch.fnmatch(k, f"{utt}*")),
+            None,
+        )
+        if match is None:
+            logging.warning("no ground truth for %s; skipped.", utt)
+            continue
+        pairs.append((g, match))
+    logging.info("number of utterances = %d", len(pairs))
+
+    with mp.Pool(args.n_jobs) as pool:
+        results = pool.map(_evaluate_one, pairs)
+
+    results.sort(key=lambda r: r[0])
+    mcds = np.array([r[1] for r in results])
+    mean_mcd, std_mcd = float(np.mean(mcds)), float(np.std(mcds))
+    logging.info("Average: %.4f +- %.4f", mean_mcd, std_mcd)
+
+    if args.outdir is not None:
+        os.makedirs(args.outdir, exist_ok=True)
+        with open(os.path.join(args.outdir, "utt2mcd"), "w") as f:
+            for utt_id, mcd in results:
+                f.write(f"{utt_id} {mcd:.4f}\n")
+        with open(os.path.join(args.outdir, "avg_mcd"), "w") as f:
+            f.write(f"{mean_mcd:.4f} +- {std_mcd:.4f}\n")
+        logging.info("Saved results to %s.", args.outdir)
+
+
+if __name__ == "__main__":
+    main()

@@ -24,6 +24,8 @@ def build_lr_schedule(
     if scheduler_type in (None, "", "ConstantLR"):
         return lambda step: base_lr
     if scheduler_type == "StepLR":
+        if "step_size" not in params:
+            return lambda step: base_lr
         step_size = params["step_size"]
         gamma = params.get("gamma", 0.1)
 
@@ -107,11 +109,12 @@ def build_optimizer(
 
 
 def build_optimizer_from_config(config: dict, prefix: str):
-    """Build the '{prefix}' (generator/discriminator) optimizer from a YAML config."""
+    """Build the '{prefix}' (generator/discriminator) optimizer from a YAML
+    config (reference defaults: RAdam + StepLR, train.py:1454-1483)."""
     return build_optimizer(
-        config.get(f"{prefix}_optimizer_type", "Adam"),
+        config.get(f"{prefix}_optimizer_type", "RAdam"),
         config.get(f"{prefix}_optimizer_params", {}),
-        config.get(f"{prefix}_scheduler_type"),
+        config.get(f"{prefix}_scheduler_type", "StepLR"),
         config.get(f"{prefix}_scheduler_params", {}),
         config.get(f"{prefix}_grad_norm", -1),
     )
