@@ -1,0 +1,188 @@
+"""Layer math + data-pipeline tests.
+
+Mirrors the reference's layer test strategy (test/test_layers.py: upsample
+length/identity, PQMF round trips) plus collater/loader/checkpoint tests
+the reference lacks.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from parallelwavegan_tpu.data.collater import Collater
+from parallelwavegan_tpu.data.loader import DataLoader
+from parallelwavegan_tpu.layers.upsample import (
+    ConvInUpsampleNetwork,
+    UpsampleNetwork,
+    stretch_time,
+)
+from parallelwavegan_tpu.ops.pqmf import PQMF, design_prototype_filter
+
+
+# -------------------------------------------------------------- PQMF
+
+
+@pytest.mark.parametrize("subbands,taps,cutoff,beta", [
+    (4, 62, 0.142, 9.0),
+    (3, 62, 0.185, 9.0),  # cutoff tuned for 3 bands (0.142 is 4-band-tuned)
+    (2, 62, 0.267, 9.0),
+    (8, 62, 0.07949, 9.0),
+])
+def test_pqmf_analysis_synthesis_roundtrip(subbands, taps, cutoff, beta):
+    pqmf = PQMF(subbands, taps, cutoff, beta)
+    rs = np.random.RandomState(0)
+    t = subbands * 128
+    x = jnp.asarray(rs.randn(2, t, 1), jnp.float32)
+    sub = pqmf.analysis(x)
+    assert sub.shape == (2, t // subbands, subbands)
+    rec = pqmf.synthesis(sub)
+    assert rec.shape == x.shape
+    # symmetric taps//2 padding on both passes keeps the cascade delay-free;
+    # compare directly away from the filter edges (near-perfect, not perfect)
+    a = np.asarray(rec)[0, taps:-taps, 0]
+    b = np.asarray(x)[0, taps:-taps, 0]
+    rel = np.abs(a - b).max() / np.abs(b).max()
+    assert rel < 0.05, rel
+
+
+def test_prototype_filter_is_lowpass():
+    h = design_prototype_filter(62, 0.142, 9.0)
+    H = np.abs(np.fft.rfft(h, 2048))
+    assert H[0] > H[-1] * 10
+
+
+# -------------------------------------------------------------- upsample
+
+
+def test_stretch_time_nearest():
+    x = jnp.arange(6, dtype=jnp.float32).reshape(1, 3, 2)
+    y = stretch_time(x, 2)
+    assert y.shape == (1, 6, 2)
+    np.testing.assert_array_equal(np.asarray(y)[0, 0], np.asarray(y)[0, 1])
+
+
+def test_upsample_network_length():
+    net = UpsampleNetwork(upsample_scales=[4, 4])
+    c = jnp.ones((2, 10, 5))
+    params = net.init(jax.random.key(0), c)
+    y = net.apply(params, c)
+    assert y.shape == (2, 160, 5)
+    # 1/k-init smoothing conv preserves a constant signal in the interior
+    # (zero padding tapers ~2*scale samples at each stage's edges)
+    np.testing.assert_allclose(np.asarray(y)[:, 40:-40, :], 1.0, atol=1e-5)
+
+
+def test_conv_in_upsample_network_context_window():
+    win = 2
+    net = ConvInUpsampleNetwork(
+        upsample_scales=[4, 4], aux_channels=5, aux_context_window=win
+    )
+    c = jnp.ones((2, 10 + 2 * win, 5))
+    params = net.init(jax.random.key(0), c)
+    y = net.apply(params, c)
+    assert y.shape == (2, 160, 5)
+
+
+# -------------------------------------------------------------- collater
+
+
+def _items(n, fs=64, frames=40, mels=6):
+    rs = np.random.RandomState(0)
+    out = []
+    for _ in range(n):
+        f = frames + rs.randint(0, 10)
+        out.append((rs.randn(f * fs).astype(np.float32),
+                    rs.randn(f, mels).astype(np.float32)))
+    return out
+
+
+def test_collater_mel2wav_shapes():
+    col = Collater(batch_max_steps=512, hop_size=64, aux_context_window=2,
+                   use_noise_input=True,
+                   rng=np.random.default_rng(0))
+    batch = col(_items(4))
+    assert batch["y"].shape == (4, 512, 1)
+    assert batch["c"].shape == (4, 512 // 64 + 4, 6)
+    assert batch["z"].shape == (4, 512, 1)
+    # audio crop aligns with mel crop on the hop grid
+    assert batch["y"].dtype == np.float32
+
+
+def test_collater_filters_short_items():
+    col = Collater(batch_max_steps=512, hop_size=64, aux_context_window=0,
+                   rng=np.random.default_rng(0))
+    items = _items(3) + [(np.zeros(64, np.float32), np.zeros((1, 6), np.float32))]
+    batch = col(items)
+    assert batch["y"].shape[0] == 3  # short item dropped
+
+
+def test_collater_duration_branch():
+    col = Collater(batch_max_steps=512, hop_size=64, aux_context_window=0,
+                   use_duration=True, rng=np.random.default_rng(0))
+    rs = np.random.RandomState(1)
+    items = []
+    for _ in range(2):
+        frames = 20
+        tokens = np.repeat(rs.randint(0, 5, frames // 4), 4)[:, None]
+        items.append((rs.randn(frames * 64).astype(np.float32),
+                      np.concatenate([tokens, tokens * 0], axis=1)))
+    batch = col(items)
+    assert batch["y"].shape == (2, 512, 1)
+    assert batch["ds"].sum(axis=1).max() <= 512 // 64
+    assert batch["c"].shape[0] == 2
+
+
+def test_loader_sharding_partitions_dataset():
+    class DS:
+        def __len__(self):
+            return 10
+
+        def __getitem__(self, i):
+            return i
+
+    seen = []
+    for shard in range(2):
+        dl = DataLoader(DS(), lambda items: list(items), batch_size=1,
+                        shuffle=False, shard_index=shard, num_shards=2)
+        seen.extend(sum((b for b in dl.epoch_batches(0)), []))
+    assert sorted(seen) == list(range(10))
+
+
+# -------------------------------------------------------------- checkpoint
+
+
+def test_checkpoint_save_load_roundtrip(tmp_path):
+    import optax
+
+    from parallelwavegan_tpu.utils.checkpoint import (
+        load_checkpoint,
+        load_generator_params,
+        save_checkpoint,
+    )
+    from parallelwavegan_tpu.train.state import init_train_state
+
+    params_g = {"w": jnp.arange(4.0), "b": jnp.ones((2, 2))}
+    params_d = {"w": jnp.zeros(3)}
+    tx = optax.adam(1e-3)
+    state = init_train_state(params_g, params_d, tx, tx)
+    state = state.replace(steps=jnp.asarray(7, jnp.int32))
+    path = os.path.join(tmp_path, "ckpt.pkl")
+    save_checkpoint(path, state, epochs=3)
+
+    fresh = init_train_state(params_g, params_d, tx, tx)
+    restored, epochs = load_checkpoint(path, fresh)
+    assert int(np.asarray(restored.steps)) == 7
+    assert epochs == 3
+    np.testing.assert_array_equal(
+        np.asarray(restored.params_g["w"]), np.arange(4.0)
+    )
+
+    only_params, _ = load_checkpoint(path, fresh, load_only_params=True)
+    assert int(np.asarray(only_params.steps)) == 0
+
+    g, vars_g, steps = load_generator_params(path)
+    assert steps == 7
+    np.testing.assert_array_equal(np.asarray(g["w"]), np.arange(4.0))
