@@ -152,7 +152,10 @@ def _decode_vqvae(args, config):
 
     model = get_model_class("VQVAE")(**config["generator_params"])
     params, vars_g, _ = load_generator_params(args.checkpoint)
-    variables = {"params": params, **vars_g}
+    # checkpoint leaves are numpy; jnp-ify so traced indexing works in jit
+    variables = jax.tree_util.tree_map(
+        jnp.asarray, {"params": params, **vars_g}
+    )
     subbands = config["generator_params"].get("in_channels", 1)
     pqmf = PQMF(subbands) if subbands > 1 else None
 

@@ -60,9 +60,11 @@ def build_dataset(config: dict, args, split: str):
     rootdir = getattr(args, f"{split}_dumpdir", None)
     wav_scp = getattr(args, f"{split}_wav_scp", None)
     batch_max_steps = config["batch_max_steps"]
-    hop_size = config["hop_size"]
+    hop_size = config.get("hop_size")  # absent for wave2wav VQ configs
     win = config["generator_params"].get("aux_context_window", 0)
-    mel_threshold = batch_max_steps // hop_size + 2 * win
+    mel_threshold = (
+        batch_max_steps // hop_size + 2 * win if hop_size else None
+    )
     if rootdir is not None:
         local_kw = {}
         if config.get("format", "hdf5") == "hdf5":
@@ -207,7 +209,7 @@ def main():
     win = config["generator_params"].get("aux_context_window", 0)
     collater = Collater(
         batch_max_steps=config["batch_max_steps"],
-        hop_size=config["hop_size"],
+        hop_size=config.get("hop_size"),
         aux_context_window=win,
         use_noise_input=flags["use_noise_input"],
         use_aux_input=flags["use_aux_input"],
@@ -253,6 +255,14 @@ def main():
             return (batch["excitation"], batch["c"])
         if gtype == "DiscreteSymbolDurationGenerator":
             return (batch["c"], batch["ds"])
+        if gtype == "VQVAE":
+            subbands = cfg["generator_params"].get("in_channels", 1)
+            y = batch["y"]
+            if subbands > 1:
+                from parallelwavegan_tpu.ops.pqmf import PQMF
+
+                y = PQMF(subbands, **cfg.get("pqmf_params", {})).analysis(y)
+            return (y, batch.get("local"), batch.get("global"))
         return (batch["c"],)
 
     import jax.numpy as jnp
