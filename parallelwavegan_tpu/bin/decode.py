@@ -162,13 +162,24 @@ def _decode_vqvae(args, config):
     encode = jax.jit(lambda x: model.apply(variables, x, method="encode"))
     decode = jax.jit(lambda i: model.apply(variables, i, method="decode"))
 
+    # bucket utterance lengths so the whole set hits few compiled shapes
+    downs = 1
+    enc_conf = config["generator_params"].get("encoder_conf") or {}
+    for s in enc_conf.get("downsample_scales", [4, 4, 2, 2]):
+        downs *= s
+    bucket = downs * subbands * 16
+
     os.makedirs(args.outdir, exist_ok=True)
     fs = config["sampling_rate"]
     total_rtf = 0.0
     with open(os.path.join(args.outdir, "text"), "w") as sym_f:
         for i in tqdm(range(len(dataset))):
             utt_id, audio = dataset[i][0], dataset[i][1]
-            x = jnp.asarray(np.asarray(audio, np.float32))[None, :, None]
+            audio = np.asarray(audio, np.float32)
+            t = len(audio)
+            pad_t = -(-t // bucket) * bucket
+            audio = np.pad(audio, (0, pad_t - t), mode="edge")
+            x = jnp.asarray(audio)[None, :, None]
             start = time.time()
             if pqmf is not None:
                 x = pqmf.analysis(x)
@@ -176,11 +187,14 @@ def _decode_vqvae(args, config):
             y = decode(indices)
             if pqmf is not None:
                 y = pqmf.synthesis(y)
-            y = np.asarray(jax.device_get(y))[0, :, 0]
+            y = np.asarray(jax.device_get(y))[0, :t, 0]
             rtf = (time.time() - start) / (len(y) / fs)
             total_rtf += rtf
             write_wav(os.path.join(args.outdir, f"{utt_id}_gen.wav"), fs, y)
-            syms = " ".join(str(int(s)) for s in np.asarray(indices)[0])
+            n_sym_true = -(-t // (downs * subbands))
+            syms = " ".join(
+                str(int(s)) for s in np.asarray(indices)[0][:n_sym_true]
+            )
             sym_f.write(f"{utt_id} {syms}\n")
     logging.info(
         "Finished generation of %d utterances (RTF = %.06f).",

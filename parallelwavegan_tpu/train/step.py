@@ -211,14 +211,16 @@ def build_train_step(
                         adv_loss = adv_loss + criterion.lambda_feat_match * fm_loss
                     gen_loss = gen_loss + criterion.lambda_adv * adv_loss
                 m["generator_loss"] = gen_loss
-                return gen_loss, m
+                return gen_loss, (m, y_full)
 
-            (_, g_metrics), grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
-                params_g
-            )
+            (_, (g_metrics, y_gen)), grads = jax.value_and_grad(
+                g_loss_fn, has_aux=True
+            )(params_g)
             updates, opt_g = opt_g_tx.update(grads, opt_g, params_g)
             params_g = optax.apply_updates(params_g, updates)
             metrics.update(g_metrics)
+            y_ = jax.lax.stop_gradient(y_gen)  # pre-update fakes (reused
+            # for D when update_prediction_after_generator_update=false)
 
         if train_d:
             # fresh fakes from the just-updated generator (train.py:300-315);

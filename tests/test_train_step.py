@@ -106,6 +106,35 @@ def test_pwg_train_step():
     assert "spectral_convergence_loss" in m
 
 
+def test_pwg_train_step_without_prediction_update():
+    """update_prediction_after_generator_update=false reuses G-phase fakes."""
+    rs = np.random.RandomState(7)
+    config = dict(BASE)
+    config.update(
+        generator_type="ParallelWaveGANGenerator",
+        generator_params={
+            "layers": 2,
+            "stacks": 1,
+            "residual_channels": 8,
+            "gate_channels": 16,
+            "skip_channels": 8,
+            "aux_channels": 10,
+            "aux_context_window": 0,
+            "upsample_params": {"upsample_scales": [4, 4]},
+        },
+        discriminator_type="ParallelWaveGANDiscriminator",
+        discriminator_params={"layers": 3, "conv_channels": 8},
+        update_prediction_after_generator_update=False,
+    )
+    t_frames = 8
+    batch = {
+        "y": rs.randn(2, t_frames * 16, 1).astype(np.float32),
+        "c": rs.randn(2, t_frames, 10).astype(np.float32),
+        "z": rs.randn(2, t_frames * 16, 1).astype(np.float32),
+    }
+    _run_two_steps(config, batch, lambda tb: (tb["z"], tb["c"]))
+
+
 def test_multiband_melgan_train_step():
     rs = np.random.RandomState(1)
     config = dict(BASE)
