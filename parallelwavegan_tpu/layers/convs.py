@@ -115,20 +115,27 @@ class _NormalizedKernel(nn.Module):
             w = jnp.transpose(kernel, tuple(sn_perm))
             w_mat = w.reshape(w.shape[0], -1)
 
-            def _init_vec(n, salt):
-                def init():
-                    key = (
-                        self.make_rng("params")
-                        if self.is_initializing() and self.has_rng("params")
-                        else jax.random.key(salt)
-                    )
-                    vec = jax.random.normal(key, (n,))
-                    return vec / (jnp.linalg.norm(vec) + 1e-12)
+            # init with one power iteration from a fixed random start:
+            # independent random (u, v) would give sigma = u^T W v ~ 0 and a
+            # catastrophically mis-scaled D at step 1 (torch's first train
+            # forward runs the same iteration before using sigma)
+            w0 = jax.lax.stop_gradient(w_mat)
 
-                return init
+            def _normalize(vec):
+                return vec / (jnp.linalg.norm(vec) + 1e-12)
 
-            u_var = self.variable("spectral", "u", _init_vec(w_mat.shape[0], 0))
-            v_var = self.variable("spectral", "v", _init_vec(w_mat.shape[1], 1))
+            def _u0():
+                return _normalize(
+                    jax.random.normal(jax.random.key(w_mat.shape[1]),
+                                      (w_mat.shape[0],))
+                )
+
+            u_var = self.variable(
+                "spectral", "u", lambda: _normalize(w0 @ _normalize(w0.T @ _u0()))
+            )
+            v_var = self.variable(
+                "spectral", "v", lambda: _normalize(w0.T @ _u0())
+            )
             u = jax.lax.stop_gradient(u_var.value)
             v = jax.lax.stop_gradient(v_var.value)
             train = (
