@@ -44,15 +44,22 @@ def main():
     key = jax.random.key(0)
 
     params = jax.jit(G.init)(key, c)
-    fwd = jax.jit(G.apply)
-    y = fwd(params, c)
-    y.block_until_ready()  # compile
 
+    # serially chain iterations on-device and fetch a scalar: immune to
+    # async-dispatch and host<->device tunnel-latency artifacts
     n_iters = 20
+
+    @jax.jit
+    def run(params, c):
+        def body(i, carry):
+            y = G.apply(params, c + carry * 1e-12)
+            return jnp.mean(y)
+
+        return jax.lax.fori_loop(0, n_iters, body, jnp.float32(0.0))
+
+    float(jax.device_get(run(params, c)))  # compile
     start = time.perf_counter()
-    for _ in range(n_iters):
-        y = fwd(params, c)
-    y.block_until_ready()
+    float(jax.device_get(run(params, c)))
     elapsed = (time.perf_counter() - start) / n_iters
 
     audio_seconds = frames * HOP / FS
