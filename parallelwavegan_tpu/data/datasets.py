@@ -18,8 +18,6 @@ from __future__ import annotations
 import logging
 import os
 
-import numpy as np
-
 from parallelwavegan_tpu.utils.io import (
     HDF5ScpLoader,
     NpyScpLoader,

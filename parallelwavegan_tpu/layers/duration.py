@@ -19,8 +19,6 @@ The jittable form drives training (teacher-forced total length is known);
 
 from __future__ import annotations
 
-from typing import Any
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

@@ -13,8 +13,6 @@ stays fused with the producing conv.
 
 from __future__ import annotations
 
-from typing import Any
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ XLA overlaps them.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Sequence
 
 import jax.numpy as jnp

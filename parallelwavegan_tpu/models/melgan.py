@@ -24,7 +24,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from parallelwavegan_tpu.layers.convs import (
-    CausalConv1d,
     CausalConvTranspose1d,
     Conv1d,
     ConvTranspose1d,

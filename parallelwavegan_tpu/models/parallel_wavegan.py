@@ -16,11 +16,10 @@ in ``inference`` wrappers, mirroring the reference's ReplicationPad1d.
 from __future__ import annotations
 
 import math
-from typing import Any, Sequence
+from typing import Any
 
 import flax.linen as nn
 import jax
-import jax.numpy as jnp
 
 from parallelwavegan_tpu.layers.convs import Conv1d, get_activation
 from parallelwavegan_tpu.layers.residual_block import (

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from parallelwavegan_tpu.layers.convs import Conv1d
-from parallelwavegan_tpu.layers.vq import VQCodebook, nearest_codebook_indices
+from parallelwavegan_tpu.layers.vq import VQCodebook
 from parallelwavegan_tpu.models.melgan import MelGANDiscriminator, MelGANGenerator
 
 Array = jax.Array

@@ -8,9 +8,7 @@ construction when the generator is multi-band).
 from __future__ import annotations
 
 import logging
-from dataclasses import dataclass, field
-from typing import Any
-
+from dataclasses import dataclass
 from parallelwavegan_tpu.losses import (
     DiscriminatorAdversarialLoss,
     FeatureMatchLoss,

@@ -16,8 +16,7 @@ branching on the hot path. Loss scalars come back as a metrics dict.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

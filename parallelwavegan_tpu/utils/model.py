@@ -16,9 +16,7 @@ of one per utterance length.
 from __future__ import annotations
 
 import logging
-import math
 import os
-from functools import partial
 
 import jax
 import jax.numpy as jnp
