@@ -41,6 +41,11 @@ def main():
     parser.add_argument("--normalize-before", default=False, action="store_true")
     parser.add_argument("--use-f0-and-excitation", default=False,
                         action="store_true")
+    parser.add_argument(
+        "--use-pallas-stack", default=False, action="store_true",
+        help="fused whole-cycle Pallas inference kernel (PWG only; same "
+             "params, ~2.2x faster than the XLA path on TPU)",
+    )
     parser.add_argument("--verbose", type=int, default=1)
     args = parser.parse_args()
 
@@ -88,6 +93,12 @@ def main():
         dataset = MelSCPDataset(args.feats_scp, return_utt_id=True)
     logging.info("The number of features to be decoded = %d.", len(dataset))
 
+    if args.use_pallas_stack and config.get("generator_type",
+                                            "ParallelWaveGANGenerator") == (
+            "ParallelWaveGANGenerator"):
+        config = dict(config)
+        config["generator_params"] = dict(config["generator_params"])
+        config["generator_params"]["use_pallas_stack"] = True
     model = load_model(args.checkpoint, config)
     logging.info("Loaded model parameters from %s.", args.checkpoint)
 

@@ -60,7 +60,10 @@ class WaveNetResidualBlock(nn.Module):
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, x: Array, c: Array | None, *, deterministic: bool = True):
+    def __call__(self, x: Array, c: Array | None, *, deterministic: bool = True,
+                 collect_weights: bool = False):
+        if collect_weights:
+            return self.collect_weights(x, c)
         if self.use_pallas and c is not None and self.use_bias:
             return self._fused(x, c, deterministic)
         residual = x
@@ -116,6 +119,58 @@ class WaveNetResidualBlock(nn.Module):
         )(x)
         x = (x + residual) * math.sqrt(0.5)
         return x, s
+
+    def collect_weights(self, x: Array, c: Array) -> dict:
+        """Effective (normalized) per-layer weights for the fused stack
+        kernel, using the exact same param tree as the standard path."""
+        kinit = kaiming_normal_relu_init(self.kernel_size * self.residual_channels)
+        half = self.gate_channels // 2
+        conv_kernel, conv_bias = Conv1d(
+            features=self.gate_channels,
+            kernel_size=self.kernel_size,
+            dilation=self.dilation,
+            use_bias=self.use_bias,
+            norm=self.norm,
+            kernel_init=kinit,
+            bias_init=zeros_init(),
+            name="conv",
+        )(x, return_params=True)
+        aux_kernel, _ = Conv1d(
+            features=self.gate_channels,
+            kernel_size=1,
+            use_bias=False,
+            norm=self.norm,
+            kernel_init=kaiming_normal_relu_init(self.aux_channels),
+            name="conv1x1_aux",
+        )(c, return_params=True)
+        gated_dummy = jnp.zeros(x.shape[:2] + (half,), x.dtype)
+        skip_kernel, skip_bias = Conv1d(
+            features=self.skip_channels,
+            kernel_size=1,
+            use_bias=self.use_bias,
+            norm=self.norm,
+            kernel_init=kaiming_normal_relu_init(half),
+            bias_init=zeros_init(),
+            name="conv1x1_skip",
+        )(gated_dummy, return_params=True)
+        res_kernel, res_bias = Conv1d(
+            features=self.residual_channels,
+            kernel_size=1,
+            use_bias=self.use_bias,
+            norm=self.norm,
+            kernel_init=kaiming_normal_relu_init(half),
+            bias_init=zeros_init(),
+            name="conv1x1_out",
+        )(gated_dummy, return_params=True)
+        return {
+            "wconv": conv_kernel,
+            "bconv": conv_bias,
+            "waux": aux_kernel[0],
+            "wskip": skip_kernel[0],
+            "bskip": skip_bias,
+            "wres": res_kernel[0],
+            "bres": res_bias,
+        }
 
     def _fused(self, x: Array, c: Array, deterministic: bool):
         """Single fused Pallas kernel over the whole block (same params)."""

@@ -19,6 +19,7 @@ import math
 from typing import Any
 
 import flax.linen as nn
+import jax.numpy as jnp
 import jax
 
 from parallelwavegan_tpu.layers.convs import Conv1d, get_activation
@@ -81,6 +82,7 @@ class ParallelWaveGANGenerator(nn.Module):
     upsample_net: str = "ConvInUpsampleNetwork"
     upsample_params: Any = None
     use_pallas_kernels: bool = False
+    use_pallas_stack: bool = False  # fused whole-cycle inference kernel
 
     @nn.compact
     def __call__(self, z: Array, c: Array | None, *,
@@ -110,24 +112,58 @@ class ParallelWaveGANGenerator(nn.Module):
             name="first_conv",
         )(z)
 
-        skips = 0.0
-        for layer in range(self.layers):
-            dilation = 2 ** (layer % layers_per_stack)
-            x, h = WaveNetResidualBlock(
+        blocks = [
+            WaveNetResidualBlock(
                 kernel_size=self.kernel_size,
                 residual_channels=self.residual_channels,
                 gate_channels=self.gate_channels,
                 skip_channels=self.skip_channels,
                 aux_channels=self.aux_channels,
-                dilation=dilation,
+                dilation=2 ** (layer % layers_per_stack),
                 dropout=self.dropout,
                 use_bias=self.bias,
                 use_causal_conv=self.use_causal_conv,
                 norm=norm,
                 use_pallas=self.use_pallas_kernels,
                 name=f"conv_layers_{layer}",
-            )(x, c, deterministic=deterministic)
-            skips += h
+            )
+            for layer in range(self.layers)
+        ]
+        if (
+            self.use_pallas_stack
+            and c is not None
+            and not self.use_causal_conv
+            and self.dropout == 0.0
+        ):
+            # whole-cycle fused inference: stack every block's effective
+            # weights (identical param tree) and run one dilation cycle per
+            # pallas call (ops/pallas_kernels/wavenet_stack.py)
+            from parallelwavegan_tpu.ops.pallas_kernels.wavenet_stack import (
+                fused_wavenet_cycle,
+            )
+
+            per_layer = [
+                blk(x, c, collect_weights=True) for blk in blocks
+            ]
+            skips = 0.0
+            for s in range(0, self.layers, layers_per_stack):
+                e = s + layers_per_stack
+                weights = {
+                    k: jnp.stack([per_layer[i][k] for i in range(s, e)])
+                    for k in per_layer[0]
+                }
+                dils = tuple(
+                    2 ** (i % layers_per_stack) for i in range(s, e)
+                )
+                x, sk = fused_wavenet_cycle(
+                    x, c, weights, dils, t_tile=1024
+                )
+                skips += sk
+        else:
+            skips = 0.0
+            for blk in blocks:
+                x, h = blk(x, c, deterministic=deterministic)
+                skips += h
         skips *= math.sqrt(1.0 / self.layers)
 
         x = jax.nn.relu(skips)
