@@ -83,6 +83,8 @@ class ParallelWaveGANGenerator(nn.Module):
     upsample_params: Any = None
     use_pallas_kernels: bool = False
     use_pallas_stack: bool = False  # fused whole-cycle inference kernel
+    pallas_stack_tile: int = 1024
+    pallas_stack_bf16: bool = False
 
     @nn.compact
     def __call__(self, z: Array, c: Array | None, *,
@@ -156,7 +158,10 @@ class ParallelWaveGANGenerator(nn.Module):
                     2 ** (i % layers_per_stack) for i in range(s, e)
                 )
                 x, sk = fused_wavenet_cycle(
-                    x, c, weights, dils, t_tile=1024
+                    x, c, weights, dils,
+                    t_tile=self.pallas_stack_tile,
+                    compute_dtype=jnp.bfloat16
+                    if self.pallas_stack_bf16 else jnp.float32,
                 )
                 skips += sk
         else:
