@@ -250,11 +250,47 @@ class HiFiGANResidualBlock(nn.Module):
     norm: str | None = "weight"
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array, *, collect_weights: bool = False):
         act = get_activation(
             self.nonlinear_activation,
             self.nonlinear_activation_params or {"negative_slope": 0.1},
         )
+        if collect_weights:
+            # fused-MRF path: effective kernels/biases, same param tree
+            w1, b1, w2, b2 = [], [], [], []
+            for i, dilation in enumerate(self.dilations):
+                k, b = Conv1d(
+                    features=self.channels,
+                    kernel_size=self.kernel_size,
+                    dilation=dilation,
+                    padding="causal" if self.use_causal_conv else "same",
+                    use_bias=self.use_bias,
+                    norm=self.norm,
+                    name=f"convs1_{i}",
+                )(x, return_params=True)
+                w1.append(k)
+                b1.append(b)
+                if self.use_additional_convs:
+                    k2, bb2 = Conv1d(
+                        features=self.channels,
+                        kernel_size=self.kernel_size,
+                        dilation=1,
+                        padding="causal" if self.use_causal_conv else "same",
+                        use_bias=self.use_bias,
+                        norm=self.norm,
+                        name=f"convs2_{i}",
+                    )(x, return_params=True)
+                    w2.append(k2)
+                    b2.append(bb2)
+            out = {
+                "w1": jnp.stack(w1),
+                "b1": jnp.stack(b1),
+                "dilations": tuple(self.dilations),
+            }
+            if self.use_additional_convs:
+                out["w2"] = jnp.stack(w2)
+                out["b2"] = jnp.stack(b2)
+            return out
         for i, dilation in enumerate(self.dilations):
             xt = act(x)
             xt = Conv1d(

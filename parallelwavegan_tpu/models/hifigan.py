@@ -63,6 +63,8 @@ class HiFiGANGenerator(nn.Module):
     nonlinear_activation_params: Any = None
     use_causal_conv: bool = False
     use_weight_norm: bool = True
+    use_pallas_mrf: bool = False  # fused MRF inference kernel per scale
+    pallas_mrf_tile: int = 2048
 
     def setup(self):
         assert self.kernel_size % 2 == 1, "Kernel size must be odd number."
@@ -128,9 +130,8 @@ class HiFiGANGenerator(nn.Module):
                     kernel_init=kinit,
                     name=f"upsamples_{i}",
                 )(c)
-            cs = jnp.zeros_like(c)
-            for j in range(num_blocks):
-                cs += HiFiGANResidualBlock(
+            blocks = [
+                HiFiGANResidualBlock(
                     kernel_size=self.resblock_kernel_sizes[j],
                     channels=ch,
                     dilations=self.resblock_dilations[j],
@@ -142,8 +143,32 @@ class HiFiGANGenerator(nn.Module):
                     use_causal_conv=self.use_causal_conv,
                     norm=norm,
                     name=f"blocks_{i * num_blocks + j}",
-                )(c)
-            c = cs / num_blocks
+                )
+                for j in range(num_blocks)
+            ]
+            if (
+                self.use_pallas_mrf
+                and not self.use_causal_conv
+                and self.use_additional_convs
+                and self.bias
+                and ch <= 64  # larger stages OOM VMEM and are MXU-bound anyway
+            ):
+                from parallelwavegan_tpu.ops.pallas_kernels.hifigan_mrf import (
+                    fused_hifigan_mrf,
+                )
+
+                slope = (
+                    self.nonlinear_activation_params or {"negative_slope": 0.1}
+                ).get("negative_slope", 0.1)
+                weights = [blk(c, collect_weights=True) for blk in blocks]
+                c = fused_hifigan_mrf(
+                    c, weights, slope=slope, t_tile=self.pallas_mrf_tile
+                )
+            else:
+                cs = jnp.zeros_like(c)
+                for blk in blocks:
+                    cs += blk(c)
+                c = cs / num_blocks
 
         # official impl uses default LeakyReLU slope (0.01) on the output conv
         c = get_activation("LeakyReLU", {"negative_slope": 0.01})(c)
