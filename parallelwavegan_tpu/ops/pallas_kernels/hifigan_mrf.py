@@ -11,12 +11,13 @@ is read once and the averaged stage output written once.
 Same-padding semantics at sequence edges are reproduced with per-conv
 masking of out-of-sequence rows (cf. wavenet_stack.py). Inference-only.
 
-STATUS (v5e, round 1): numerically exact and compiling for ch <= 64 at
-t_tile <= 512, but NOT yet faster than XLA (13.4 vs 11.4 ms full-generator
-decode) — Mosaic's scoped-stack allocation keeps ~35 temporaries live for
-the unrolled 18-conv body, capping the tile size and pushing halo overhead
-to 25%. Off by default; the win needs run_scoped buffer reuse or a
-two-pass structure (see ROADMAP.md).
+STATUS (v5e, round 1): numerically exact (1.7e-4 on the full generator on
+chip). The block dimension is an inner grid axis (one resblock per grid
+step, DMA once per tile via persistent scratch) which fits t_tile 1536,
+but the kernel is still ~18% slower than XLA end to end: at C=32..64 the
+(T, C) @ (C, C) matmuls use <1/4 of the MXU lanes. Off by default; the
+win needs channel-by-tap im2col packing to widen the contraction (see
+ROADMAP.md).
 """
 
 from __future__ import annotations
@@ -75,22 +76,28 @@ def _kernel(
 
     b = pl.program_id(0)
     i = pl.program_id(1)
+    j = pl.program_id(2)  # one resblock per grid step: fewer live buffers
     rows = t_tile + 2 * halo
-    dma = pltpu.make_async_copy(
-        xp_hbm.at[b, pl.ds(i * t_tile, rows), :], x_scratch, sem
-    )
-    dma.start()
-    dma.wait()
+
+    # TPU grid steps run sequentially on the core, so the scratch persists
+    # across the inner block dimension: DMA the tile only once
+    @pl.when(j == 0)
+    def _():
+        dma = pltpu.make_async_copy(
+            xp_hbm.at[b, pl.ds(i * t_tile, rows), :], x_scratch, sem
+        )
+        dma.start()
+        dma.wait()
+
     # DMA'd block is 128-lane padded; compute at the true channel width so
     # the resident weights stay unpadded (the padding cost ~4-16x VMEM)
     c0 = w_refs[0].shape[-1]
     xv0 = x_scratch[:][:, :c0]
     pos0 = i * t_tile - halo
 
-    acc = jnp.zeros((t_tile, out.shape[-1]), jnp.float32)
-    for j in range(n_blocks):
-        w1, b1, w2, b2 = w_refs[4 * j : 4 * j + 4]
-        k, dilations = block_specs[j]
+    def block_out(j_static):
+        w1, b1, w2, b2 = w_refs[4 * j_static : 4 * j_static + 4]
+        k, dilations = block_specs[j_static]
         xb = xv0
         off, length = 0, rows
         for di, d in enumerate(dilations):
@@ -135,10 +142,20 @@ def _kernel(
             off += shrink
             length = len2
         rel = halo - off
-        acc = acc + lax.slice_in_dim(xb, rel, rel + t_tile, axis=0).astype(
+        return lax.slice_in_dim(xb, rel, rel + t_tile, axis=0).astype(
             jnp.float32
-        )
-    out[0] = (acc / n_blocks).astype(out.dtype)
+        ) / n_blocks
+
+    contrib = lax.switch(j, [functools.partial(block_out, jj)
+                             for jj in range(n_blocks)])
+
+    @pl.when(j == 0)
+    def _():
+        out[0] = contrib.astype(out.dtype)
+
+    @pl.when(j > 0)
+    def _():
+        out[0] = out[0] + contrib.astype(out.dtype)
 
 
 def fused_hifigan_mrf(
@@ -193,15 +210,17 @@ def fused_hifigan_mrf(
     in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]
     for w in flat_w:
         in_specs.append(
-            pl.BlockSpec(w.shape, (lambda bb, ii, nd=w.ndim: (0,) * nd),
+            pl.BlockSpec(w.shape, (lambda bb, ii, jj, nd=w.ndim: (0,) * nd),
                          memory_space=pltpu.VMEM)
         )
     out = pl.pallas_call(
         kernel,
-        grid=(b, n_tiles),
+        grid=(b, n_tiles, len(blocks)),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, t_tile, c0), lambda bb, ii: (bb, ii, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            (1, t_tile, c0), lambda bb, ii, jj: (bb, ii, 0),
+            memory_space=pltpu.VMEM,
+        ),
         out_shape=jax.ShapeDtypeStruct((b, t_padded, c0), x.dtype),
         scratch_shapes=[
             pltpu.VMEM((rows, c), compute_dtype),
