@@ -45,8 +45,10 @@ class InferenceModel:
     def __init__(self, generator, params, config, vars_g=None,
                  mean=None, scale=None, pqmf=None, bucket: int = 32):
         self.generator = generator
-        self.params = params
-        self.vars_g = vars_g or {}
+        # checkpoint leaves arrive as numpy; jnp-ify so traced indexing
+        # (embedding/codebook lookups) works under jit
+        self.params = jax.tree_util.tree_map(jnp.asarray, params)
+        self.vars_g = jax.tree_util.tree_map(jnp.asarray, vars_g or {})
         self.config = config
         self.mean = mean
         self.scale = scale
