@@ -1,6 +1,6 @@
 #!/usr/bin/env bash
-# VCTK vocoder recipe.
-# Mirrors the reference egs/vctk/voc1/run.sh stage flow: -1 download,
+# Talromur (Icelandic TTS corpus, 22.05 kHz) vocoder recipe.
+# Mirrors the reference egs/talromur/voc1/run.sh stage flow: -1 download,
 # 0 data prep, 1 features + stats + normalize, 2 train, 3 decode,
 # 4 objective evaluation (MCD + F0). TPU-native: the train CLI is
 # data-parallel over all visible devices; no run.pl / launcher layer.
@@ -19,8 +19,6 @@ checkpoint=""
 train_set="train_nodev"
 dev_set="dev"
 eval_set="eval"
-num_dev=250
-num_eval=250
 
 set -u
 
@@ -30,16 +28,18 @@ dumpdir=dump
 if [ "${stage}" -le -1 ] && [ "${stop_stage}" -ge -1 ]; then
     echo "Stage -1: Data download"
     mkdir -p "${db_root}"
-    if [ ! -d "${db_root}/vctk" ]; then
-        echo "Please download the vctk corpus and extract it to ${db_root}/vctk."
-        exit 1
+    if [ ! -d "${db_root}/talromur" ]; then
+        base="https://repository.clarin.is/repository/xmlui/bitstream/handle/20.500.12537/104"
+        mkdir -p "${db_root}/talromur"
+        for v in alfur bjartur bui dilja rosa salka steinn ugla; do
+            (cd "${db_root}/talromur" && wget -q "${base}/${v}.zip" && unzip -q "${v}.zip" && rm "${v}.zip")
+        done
     fi
 fi
 
 if [ "${stage}" -le 0 ] && [ "${stop_stage}" -ge 0 ]; then
     echo "Stage 0: Data preparation"
-    python3 local/data_prep.py "${db_root}/vctk" data \
-        --num-dev "${num_dev}" --num-eval "${num_eval}"
+    python3 local/data_prep.py "${db_root}/talromur" data
 fi
 
 stats_ext=h5
@@ -49,9 +49,13 @@ if [ "${stage}" -le 1 ] && [ "${stop_stage}" -ge 1 ]; then
         [ ! -e "${dumpdir}/${name}/raw" ] && mkdir -p "${dumpdir}/${name}/raw"
         ../../utils/make_subset_data.sh "data/${name}" "${n_jobs}" "${dumpdir}/${name}/raw"
         for i in $(seq 1 "${n_jobs}"); do
+            seg_opt=""
+            [ -e "${dumpdir}/${name}/raw/${i}/segments" ] && \
+                seg_opt="--segments ${dumpdir}/${name}/raw/${i}/segments"
+            # shellcheck disable=SC2086
             python3 -m parallelwavegan_tpu.bin.preprocess \
                 --config "${conf}" \
-                --wav-scp "${dumpdir}/${name}/raw/${i}/wav.scp" \
+                --wav-scp "${dumpdir}/${name}/raw/${i}/wav.scp" ${seg_opt} \
                 --dumpdir "${dumpdir}/${name}/raw/dump.${i}" \
                 --verbose 0 &
         done
@@ -75,9 +79,9 @@ if [ "${stage}" -le 1 ] && [ "${stop_stage}" -ge 1 ]; then
 fi
 
 if [ -z "${tag}" ]; then
-    expdir="exp/${train_set}_vctk_$(basename "${conf}" .yaml)"
+    expdir="exp/${train_set}_talromur_$(basename "${conf}" .yaml)"
 else
-    expdir="exp/${train_set}_vctk_${tag}"
+    expdir="exp/${train_set}_talromur_${tag}"
 fi
 
 if [ "${stage}" -le 2 ] && [ "${stop_stage}" -ge 2 ]; then
@@ -116,11 +120,11 @@ if [ "${stage}" -le 4 ] && [ "${stop_stage}" -ge 4 ]; then
         wavdir="${expdir}/wav/$(basename "${checkpoint}" .pkl)/${name}"
         python3 -m parallelwavegan_tpu.bin.evaluate_mcd \
             --wavdir "${wavdir}" \
-            --gt-wavdir "${db_root}/vctk/wavs" \
+            --gt-wavdir "data/${name}/wav.scp" \
             --outdir "${wavdir}/eval" --n_jobs "${n_jobs}"
         python3 -m parallelwavegan_tpu.bin.evaluate_f0 \
             --wavdir "${wavdir}" \
-            --gt-wavdir "${db_root}/vctk/wavs" \
+            --gt-wavdir "data/${name}/wav.scp" \
             --outdir "${wavdir}/eval" --n_jobs "${n_jobs}"
     done
 fi

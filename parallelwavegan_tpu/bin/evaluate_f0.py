@@ -16,14 +16,13 @@ import os
 import numpy as np
 
 from parallelwavegan_tpu.ops.metrics import f0_metrics
-from parallelwavegan_tpu.utils.io import find_files, read_wav
+from parallelwavegan_tpu.utils.io import read_wav_entry, wav_index
 
 
 def _evaluate_one(args_tuple):
-    gen_path, gt_path, f0min, f0max = args_tuple
-    utt_id = os.path.basename(gen_path).replace("_gen.wav", "")
-    fs_gen, gen = read_wav(gen_path)
-    fs_gt, gt = read_wav(gt_path)
+    utt_id, gen_entry, gt_entry, f0min, f0max = args_tuple
+    fs_gen, gen = read_wav_entry(gen_entry)
+    fs_gt, gt = read_wav_entry(gt_entry)
     assert fs_gen == fs_gt, f"{utt_id}: fs mismatch"
     m = f0_metrics(gen, gt, fs_gen, f0min=f0min, f0max=f0max)
     return utt_id, m
@@ -31,8 +30,12 @@ def _evaluate_one(args_tuple):
 
 def main():
     parser = argparse.ArgumentParser(description="Evaluate F0 metrics.")
-    parser.add_argument("--wavdir", type=str, required=True)
-    parser.add_argument("--gt-wavdir", type=str, required=True)
+    parser.add_argument("--wavdir", type=str, required=True,
+                        help="directory of generated wavs, or a wav.scp "
+                             "(optional sibling segments file)")
+    parser.add_argument("--gt-wavdir", type=str, required=True,
+                        help="directory of ground-truth wavs, or a wav.scp "
+                             "(optional sibling segments file)")
     parser.add_argument("--outdir", type=str, default=None)
     parser.add_argument("--f0min", type=float, default=70.0)
     parser.add_argument("--f0max", type=float, default=340.0)
@@ -45,16 +48,11 @@ def main():
         format="%(asctime)s (%(module)s:%(lineno)d) %(levelname)s: %(message)s",
     )
 
-    gen_files = sorted(find_files(args.wavdir, "*_gen.wav"))
-    if not gen_files:
-        gen_files = sorted(find_files(args.wavdir, "*.wav"))
-    gt_index = {
-        os.path.splitext(os.path.basename(f))[0]: f
-        for f in find_files(args.gt_wavdir, "*.wav")
-    }
+    gen_index = wav_index(args.wavdir, "*_gen.wav") or wav_index(args.wavdir)
+    gt_index = wav_index(args.gt_wavdir)
     pairs = []
-    for g in gen_files:
-        utt = os.path.basename(g).replace("_gen.wav", "").replace(".wav", "")
+    for utt, gen_entry in sorted(gen_index.items()):
+        utt = utt.removesuffix("_gen")
         match = gt_index.get(utt) or next(
             (v for k, v in gt_index.items() if fnmatch.fnmatch(k, f"{utt}*")),
             None,
@@ -62,7 +60,7 @@ def main():
         if match is None:
             logging.warning("no ground truth for %s; skipped.", utt)
             continue
-        pairs.append((g, match, args.f0min, args.f0max))
+        pairs.append((utt, gen_entry, match, args.f0min, args.f0max))
     logging.info("number of utterances = %d", len(pairs))
 
     with mp.Pool(args.n_jobs) as pool:

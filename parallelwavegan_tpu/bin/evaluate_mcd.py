@@ -17,7 +17,7 @@ import os
 import numpy as np
 
 from parallelwavegan_tpu.ops.metrics import mel_cepstral_distortion
-from parallelwavegan_tpu.utils.io import find_files, read_wav
+from parallelwavegan_tpu.utils.io import read_wav_entry, wav_index
 
 
 def _mcep_params_for_fs(fs: int) -> dict:
@@ -35,10 +35,9 @@ def _mcep_params_for_fs(fs: int) -> dict:
 
 
 def _evaluate_one(pair):
-    gen_path, gt_path = pair
-    utt_id = os.path.basename(gen_path).replace("_gen.wav", "")
-    fs_gen, gen = read_wav(gen_path)
-    fs_gt, gt = read_wav(gt_path)
+    utt_id, gen_entry, gt_entry = pair
+    fs_gen, gen = read_wav_entry(gen_entry)
+    fs_gt, gt = read_wav_entry(gt_entry)
     assert fs_gen == fs_gt, f"{utt_id}: fs mismatch"
     params = _mcep_params_for_fs(fs_gen)
     mcd = mel_cepstral_distortion(gen, gt, fs_gen, **params)
@@ -48,9 +47,11 @@ def _evaluate_one(pair):
 def main():
     parser = argparse.ArgumentParser(description="Evaluate MCD (gen vs GT).")
     parser.add_argument("--wavdir", type=str, required=True,
-                        help="directory with generated *_gen.wav files")
+                        help="directory with generated *_gen.wav files, or a "
+                             "wav.scp (optional sibling segments file)")
     parser.add_argument("--gt-wavdir", type=str, required=True,
-                        help="directory with ground-truth wavs")
+                        help="directory with ground-truth wavs, or a wav.scp "
+                             "(optional sibling segments file)")
     parser.add_argument("--outdir", type=str, default=None)
     parser.add_argument("--n_jobs", type=int, default=8)
     parser.add_argument("--verbose", type=int, default=1)
@@ -61,16 +62,11 @@ def main():
         format="%(asctime)s (%(module)s:%(lineno)d) %(levelname)s: %(message)s",
     )
 
-    gen_files = sorted(find_files(args.wavdir, "*_gen.wav"))
-    if not gen_files:
-        gen_files = sorted(find_files(args.wavdir, "*.wav"))
-    gt_index = {
-        os.path.splitext(os.path.basename(f))[0]: f
-        for f in find_files(args.gt_wavdir, "*.wav")
-    }
+    gen_index = wav_index(args.wavdir, "*_gen.wav") or wav_index(args.wavdir)
+    gt_index = wav_index(args.gt_wavdir)
     pairs = []
-    for g in gen_files:
-        utt = os.path.basename(g).replace("_gen.wav", "").replace(".wav", "")
+    for utt, gen_entry in sorted(gen_index.items()):
+        utt = utt.removesuffix("_gen")
         match = gt_index.get(utt) or next(
             (v for k, v in gt_index.items() if fnmatch.fnmatch(k, f"{utt}*")),
             None,
@@ -78,7 +74,7 @@ def main():
         if match is None:
             logging.warning("no ground truth for %s; skipped.", utt)
             continue
-        pairs.append((g, match))
+        pairs.append((utt, gen_entry, match))
     logging.info("number of utterances = %d", len(pairs))
 
     with mp.Pool(args.n_jobs) as pool:

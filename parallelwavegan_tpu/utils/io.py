@@ -155,3 +155,51 @@ def write_wav(path: str, fs: int, data: np.ndarray):
     """Write float waveform as 16-bit PCM (decode.py:238-243 convention)."""
     data = np.clip(np.asarray(data, dtype=np.float64), -1.0, 1.0)
     wavfile.write(path, fs, (data * 32767.0).astype(np.int16))
+
+
+def wav_index(path_or_dir: str, pattern: str = "*.wav") -> dict:
+    """Build {utt_id: (path, start_sec, end_sec)} from a directory OR a
+    kaldi-style wav.scp file (with optional sibling ``segments`` file).
+
+    Mirrors the reference's ``--*_wavdir_or_wavscp`` CLI surface
+    (/root/reference/parallel_wavegan/bin/evaluate_mcd.py — dir/scp duality,
+    egs/m4singer/voc1/run.sh:188-196). start/end are None when the entry is
+    a whole file.
+    """
+    if os.path.isdir(path_or_dir):
+        return {
+            os.path.splitext(os.path.basename(f))[0]: (f, None, None)
+            for f in find_files(path_or_dir, pattern)
+        }
+    recs = {}
+    with open(path_or_dir) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) < 2:
+                continue
+            if len(parts) > 2:
+                raise ValueError(
+                    f"pipe-style wav.scp entries are not supported: {line!r}"
+                )
+            recs[parts[0]] = parts[1]
+    seg_path = os.path.join(os.path.dirname(path_or_dir), "segments")
+    if not os.path.exists(seg_path):
+        return {utt: (p, None, None) for utt, p in recs.items()}
+    index = {}
+    with open(seg_path) as f:
+        for line in f:
+            utt, rec, start, end = line.split()
+            if rec not in recs:
+                logging.warning("segments entry %s references unknown recording %s", utt, rec)
+                continue
+            index[utt] = (recs[rec], float(start), float(end))
+    return index
+
+
+def read_wav_entry(entry: tuple) -> tuple:
+    """Read a wav_index entry -> (fs, float32 samples)."""
+    path, start, end = entry
+    fs, data = read_wav(path)
+    if start is not None:
+        data = data[int(start * fs) : int(end * fs)]
+    return fs, data

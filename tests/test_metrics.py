@@ -59,3 +59,31 @@ def test_f0_metrics_perfect_for_identical():
     assert m["log_f0_rmse"] < 1e-6
     assert m["semitone_acc"] == 1.0
     assert m["vuv_error_rate"] == 0.0
+
+
+def test_wav_index_scp_and_segments(tmp_path):
+    """wav_index resolves dirs, scp files, and sibling segments slicing."""
+    import numpy as np
+    from scipy.io import wavfile
+
+    from parallelwavegan_tpu.utils.io import read_wav_entry, wav_index
+
+    fs = 8000
+    wav = (np.random.RandomState(0).randn(fs * 2) * 1000).astype(np.int16)
+    wavfile.write(tmp_path / "rec1.wav", fs, wav)
+
+    # directory mode
+    idx = wav_index(str(tmp_path))
+    assert set(idx) == {"rec1"}
+    fs2, data = read_wav_entry(idx["rec1"])
+    assert fs2 == fs and len(data) == len(wav)
+
+    # scp + segments mode
+    (tmp_path / "wav.scp").write_text(f"rec1 {tmp_path}/rec1.wav\n")
+    (tmp_path / "segments").write_text(
+        "utt_a rec1 0.0 1.0\nutt_b rec1 1.0 2.0\n"
+    )
+    idx = wav_index(str(tmp_path / "wav.scp"))
+    assert set(idx) == {"utt_a", "utt_b"}
+    _, seg = read_wav_entry(idx["utt_a"])
+    assert len(seg) == fs
