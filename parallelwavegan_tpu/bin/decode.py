@@ -46,6 +46,12 @@ def main():
         help="fused whole-cycle Pallas inference kernel (PWG only; same "
              "params, ~2.2x faster than the XLA path on TPU)",
     )
+    parser.add_argument("--streaming", default=False, action="store_true",
+                        help="chunked decode: fixed-shape jit programs and "
+                             "O(chunk) device memory for unbounded lengths "
+                             "(HiFiGAN/MelGAN/PWG families)")
+    parser.add_argument("--chunk-frames", type=int, default=256)
+    parser.add_argument("--context-frames", type=int, default=64)
     parser.add_argument("--verbose", type=int, default=1)
     args = parser.parse_args()
 
@@ -115,6 +121,12 @@ def main():
             y = model.inference(
                 c, normalize_before=args.normalize_before,
                 f0=f0, excitation=excitation,
+            )
+        elif args.streaming:
+            y = model.inference_streaming(
+                c, chunk_frames=args.chunk_frames,
+                context_frames=args.context_frames,
+                normalize_before=args.normalize_before,
             )
         else:
             y = model.inference(c, normalize_before=args.normalize_before)

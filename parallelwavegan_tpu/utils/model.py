@@ -160,6 +160,111 @@ class InferenceModel:
         y = np.asarray(jax.device_get(y))
         return y[: t * upsample]
 
+    # -- streaming (chunked) decode --------------------------------------
+    _STREAMABLE = (
+        "ParallelWaveGANGenerator",
+        "MelGANGenerator",
+        "HiFiGANGenerator",
+    )
+
+    def inference_streaming(self, c, chunk_frames: int = 256,
+                            context_frames: int = 64,
+                            normalize_before: bool = False, rng=None):
+        """Chunked mel->wave decode for unbounded-length synthesis.
+
+        A new capability over the reference (SURVEY.md §5 "long-context"):
+        the mel is processed in fixed-size chunks with ``context_frames``
+        of true neighbor context on each side, so arbitrary utterance
+        lengths hit exactly TWO compiled programs (interior chunks of
+        ``chunk_frames + 2*context`` frames; boundary chunks of
+        ``chunk_frames + context``), with O(chunk) device memory.
+
+        When ``context_frames`` covers the generator's receptive field the
+        result equals the full-utterance decode: boundary chunks start or
+        end at the true utterance edge, so the model's own edge padding
+        applies exactly as in the one-shot forward. Only generators whose
+        ops are time-local are supported (StyleMelGAN's TADE instance norm
+        is global over time; discrete/duration models expand lengths).
+
+        For ParallelWaveGAN the noise track is drawn once for the whole
+        utterance and sliced per chunk, so overlapping outputs agree.
+        """
+        if self.generator_type not in self._STREAMABLE:
+            raise ValueError(
+                f"{self.generator_type} is not streamable "
+                "(global-in-time ops or input-length expansion)"
+            )
+        c = np.asarray(c, dtype=np.float32)
+        if normalize_before:
+            assert self.mean is not None, "stats are not registered"
+            c = (c - self.mean) / self.scale
+        t = c.shape[0]
+        chunk, ctx = chunk_frames, context_frames
+        up = self._upsample_factor()
+        if t <= chunk + ctx:  # too short to stream; reuse bucketed path
+            # already-normalized: bypass the normalize_before branch
+            return self.inference(c, normalize_before=False, rng=rng)
+        rng = rng if rng is not None else jax.random.key(
+            np.random.randint(2**31))
+
+        use_noise = self.generator_type == "ParallelWaveGANGenerator"
+        z_all = None
+        if use_noise:
+            z_all = np.asarray(jax.random.normal(rng, (t * up,)))
+
+        fwd = self._compiled_stream(chunk + 2 * ctx)
+        fwd_edge = self._compiled_stream(chunk + ctx)
+        y = np.empty((t * up,) + self._out_shape_tail(), dtype=np.float32)
+
+        assert ctx <= chunk, "context_frames must not exceed chunk_frames"
+        # chunk plan: (lo, hi, fn, valid_lo, valid_hi); first/last use the
+        # true utterance boundary so the model's own edge padding applies
+        # exactly as in a one-shot forward. Any weak-context interior tail
+        # frames are overwritten by the boundary-exact last chunk.
+        plan = [(0, chunk + ctx, fwd_edge, 0, chunk)]
+        s = chunk
+        while s + chunk < t:
+            hi = min(s + chunk + ctx, t)
+            plan.append((hi - (chunk + 2 * ctx), hi, fwd, s, s + chunk))
+            s += chunk
+        plan.append((t - (chunk + ctx), t, fwd_edge, t - chunk, t))
+
+        def dispatch(entry):
+            lo, hi, fn, _, _ = entry
+            z = (jnp.asarray(z_all[lo * up : hi * up])
+                 if use_noise else jnp.zeros((0,)))
+            return fn(jnp.asarray(c[lo:hi]), z)  # async under jit
+
+        def collect(entry, out_dev):
+            lo, _, _, valid_lo, valid_hi = entry
+            out = np.asarray(jax.device_get(out_dev))
+            off = (valid_lo - lo) * up
+            y[valid_lo * up : valid_hi * up] = out[
+                off : off + (valid_hi - valid_lo) * up
+            ]
+
+        # bounded pipeline: keep a few chunks in flight so host<->device
+        # latency overlaps compute while device memory stays O(chunk)
+        inflight: list = []
+        max_inflight = 4
+        for entry in plan:
+            inflight.append((entry, dispatch(entry)))
+            if len(inflight) > max_inflight:
+                collect(*inflight.pop(0))
+        for pending in inflight:
+            collect(*pending)
+        return y
+
+    def _compiled_stream(self, frames: int):
+        key = ("stream", frames)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jax.jit(self._forward_fn())
+        return self._jit_cache[key]
+
+    def _out_shape_tail(self) -> tuple:
+        out_ch = self.config["generator_params"].get("out_channels", 1)
+        return (1,) if self.pqmf is not None or out_ch == 1 else (out_ch,)
+
     def _inference_uhifigan(self, c, excitation, normalize_before):
         """UHiFiGAN: (mel (T', C), excitation per-sample) -> wave."""
         import jax
