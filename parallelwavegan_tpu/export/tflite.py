@@ -17,8 +17,9 @@ def export_tflite(
     num_mels: int,
     output_path: str | None = None,
     allow_custom_ops: bool = True,
+    noise_shape: tuple | None = None,
 ) -> bytes:
-    """Export ``generator.apply({'params': params}, mel)`` to TFLite bytes.
+    """Export ``generator.apply({'params': params}, mel[, noise])`` to TFLite.
 
     Args:
         generator: a flax mel->wave generator module (e.g. MelGANGenerator).
@@ -26,18 +27,39 @@ def export_tflite(
         mel_frames: fixed input length in frames.
         num_mels: mel channel count.
         output_path: optional path to write the .tflite flatbuffer.
+        noise_shape: for generators with an internal RNG (StyleMelGAN),
+            the (noise_frames, noise_channels) of an explicit noise input —
+            exported models take (mel, noise) so inference stays a pure
+            function (TFLite has no PRNG; the caller samples N(0, 1)).
     """
     import tensorflow as tf
     from jax.experimental import jax2tf
 
-    def forward(c):
-        return generator.apply({"params": params}, c)
+    if noise_shape is None:
+        def forward(c):
+            return generator.apply({"params": params}, c)
+
+        signature = [
+            tf.TensorSpec([1, mel_frames, num_mels], tf.float32, name="mel")
+        ]
+    else:
+        nuf = getattr(generator, "noise_upsample_factor", None)
+        if nuf is not None:
+            assert mel_frames == noise_shape[0] * nuf, (
+                f"mel_frames must be noise_frames * {nuf}"
+            )
+
+        def forward(c, z):
+            return generator.apply({"params": params}, c, z)
+
+        signature = [
+            tf.TensorSpec([1, mel_frames, num_mels], tf.float32, name="mel"),
+            tf.TensorSpec([1, *noise_shape], tf.float32, name="noise"),
+        ]
 
     tf_fn = tf.function(
         jax2tf.convert(forward, with_gradient=False),
-        input_signature=[
-            tf.TensorSpec([1, mel_frames, num_mels], tf.float32, name="mel")
-        ],
+        input_signature=signature,
         autograph=False,
     )
     converter = tf.lite.TFLiteConverter.from_concrete_functions(

@@ -32,3 +32,34 @@ def test_melgan_tflite_roundtrip(tmp_path):
     y_lite = interp.get_tensor(out["index"])
     y_ref = np.asarray(G.apply({"params": params}, jnp.asarray(x)))
     np.testing.assert_allclose(y_lite, y_ref, atol=1e-5)
+
+
+def test_stylemelgan_tflite_roundtrip_with_explicit_noise(tmp_path):
+    """StyleMelGAN exports with the noise track as a second input."""
+    G = get_model_class("StyleMelGANGenerator")(
+        in_channels=16, aux_channels=10, channels=16,
+        noise_upsample_scales=[2, 2], upsample_scales=[2, 2],
+        kernel_size=3, dilation=2,
+    )
+    nuf = G.noise_upsample_factor  # 4
+    noise_frames, mel_frames = 8, 8 * nuf
+    c = jnp.zeros((1, mel_frames, 10))
+    z = jnp.zeros((1, noise_frames, 16))
+    params = G.init(jax.random.key(0), c, z)["params"]
+
+    buf = export_tflite(G, params, mel_frames, 10,
+                        noise_shape=(noise_frames, 16))
+    interp = tf.lite.Interpreter(model_content=buf)
+    interp.allocate_tensors()
+    inputs = {d["name"].split(":")[0]: d for d in interp.get_input_details()}
+    out = interp.get_output_details()[0]
+    rs = np.random.RandomState(0)
+    x = rs.randn(1, mel_frames, 10).astype(np.float32)
+    zn = rs.randn(1, noise_frames, 16).astype(np.float32)
+    interp.set_tensor(inputs["mel"]["index"], x)
+    interp.set_tensor(inputs["noise"]["index"], zn)
+    interp.invoke()
+    y_lite = interp.get_tensor(out["index"])
+    y_ref = np.asarray(G.apply({"params": params}, jnp.asarray(x),
+                               jnp.asarray(zn)))
+    np.testing.assert_allclose(y_lite, y_ref, atol=1e-5)
