@@ -83,7 +83,7 @@ class ParallelWaveGANGenerator(nn.Module):
     upsample_params: Any = None
     use_pallas_kernels: bool = False
     use_pallas_stack: bool = False  # fused whole-cycle inference kernel
-    pallas_stack_tile: int = 1024
+    pallas_stack_tile: int = 8192
     pallas_stack_bf16: bool = False
 
     @nn.compact

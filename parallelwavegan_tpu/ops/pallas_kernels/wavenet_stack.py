@@ -68,21 +68,51 @@ def _kernel(
 ):
     b = pl.program_id(0)
     i = pl.program_id(1)
+    ni = pl.num_programs(1)
     rows = t_tile + 2 * halo
 
-    dma_x = pltpu.make_async_copy(
-        xp_hbm.at[b, pl.ds(i * t_tile, rows), :], x_scratch, sem_x
-    )
-    dma_c = pltpu.make_async_copy(
-        cp_hbm.at[b, pl.ds(i * t_tile, rows), :], c_scratch, sem_c
-    )
-    dma_x.start()
-    dma_c.start()
+    # double-buffered halo DMA: the grid runs row-major, so grid step
+    # b*ni + i prefetches step+1's block into the other scratch slot while
+    # this step computes — the halo load rides under the previous tile's
+    # matmuls instead of serializing in front of them
+    step = b * ni + i
+    n_steps = pl.num_programs(0) * ni
+    slot = lax.rem(step, 2)
+
+    def make_copies(bb, ii, sl):
+        dx = pltpu.make_async_copy(
+            xp_hbm.at[bb, pl.ds(ii * t_tile, rows), :],
+            x_scratch.at[sl], sem_x.at[sl],
+        )
+        dc = pltpu.make_async_copy(
+            cp_hbm.at[bb, pl.ds(ii * t_tile, rows), :],
+            c_scratch.at[sl], sem_c.at[sl],
+        )
+        return dx, dc
+
+    @pl.when(step == 0)
+    def _():
+        dx, dc = make_copies(b, i, slot)
+        dx.start()
+        dc.start()
+
+    next_step = step + 1
+
+    @pl.when(next_step < n_steps)
+    def _():
+        dx, dc = make_copies(
+            next_step // ni, lax.rem(next_step, ni), lax.rem(next_step, 2)
+        )
+        dx.start()
+        dc.start()
+
+    dma_x, dma_c = make_copies(b, i, slot)
     dma_x.wait()
     dma_c.wait()
 
-    xv = x_scratch[:]  # (rows, Cr) value; all further slicing is in-register
-    cv = c_scratch[:]
+    # (rows, Cr) value; all further slicing is in-register
+    xv = lax.cond(slot == 0, lambda: x_scratch[0], lambda: x_scratch[1])
+    cv = lax.cond(slot == 0, lambda: c_scratch[0], lambda: c_scratch[1])
     dtype = xv.dtype
 
     off = 0  # left offset of xv's frame 0 within the block
@@ -143,14 +173,16 @@ def _kernel(
 
 
 def fused_wavenet_cycle(
-    x, c, weights, dilations, *, t_tile: int = 4096,
+    x, c, weights, dilations, *, t_tile: int = 8192,
     compute_dtype=jnp.float32, interpret: bool = False,
-    max_layers_per_call: int = 8,
+    max_layers_per_call: int = 10,
 ):
-    """Chunk a dilation cycle into <=8-layer fused calls and sum the skips.
+    """Run a dilation cycle as <=max_layers_per_call fused calls, sum skips.
 
-    A single 10-layer unrolled kernel overflows the Mosaic compile helper;
-    8 + 2 compiles fine and keeps ~the same HBM-traffic savings.
+    With the raised vmem_limit_bytes a full 10-layer cycle fits in one
+    call at t_tile 8192 (the old 8-layer/1k-tile ceiling was the default
+    16 MB scoped-vmem stack limit, not a hard Mosaic bound); the knob
+    remains for smaller parts.
     """
     skips = None
     for s in range(0, len(dilations), max_layers_per_call):
@@ -165,7 +197,7 @@ def fused_wavenet_cycle(
 
 
 def fused_wavenet_stack(
-    x, c, weights, dilations, *, t_tile: int = 4096,
+    x, c, weights, dilations, *, t_tile: int = 8192,
     compute_dtype=jnp.float32, interpret: bool = False,
 ):
     """Run one dilation cycle of gated blocks fused in VMEM.
@@ -256,11 +288,17 @@ def fused_wavenet_stack(
             jax.ShapeDtypeStruct((b, t_padded, c_s), x.dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((rows, c_r), compute_dtype),
-            pltpu.VMEM((rows, c_a), compute_dtype),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, rows, c_r), compute_dtype),
+            pltpu.VMEM((2, rows, c_a), compute_dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
+        # the unrolled per-layer temporaries live on the scoped-vmem stack;
+        # the default 16 MB limit caps t_tile at ~1k rows — raise it so
+        # bigger tiles can amortize the halo recompute
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(xp, cp, w["wconv"], w["bconv"], w["waux"], w["wskip"], w["bskip"],
       w["wres"], w["bres"])
