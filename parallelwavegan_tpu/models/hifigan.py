@@ -64,7 +64,7 @@ class HiFiGANGenerator(nn.Module):
     use_causal_conv: bool = False
     use_weight_norm: bool = True
     use_pallas_mrf: bool = False  # fused MRF inference kernel per scale
-    pallas_mrf_tile: int = 2048
+    pallas_mrf_tile: int = 1536
 
     def setup(self):
         assert self.kernel_size % 2 == 1, "Kernel size must be odd number."
@@ -151,7 +151,7 @@ class HiFiGANGenerator(nn.Module):
                 and not self.use_causal_conv
                 and self.use_additional_convs
                 and self.bias
-                and ch <= 64  # larger stages OOM VMEM and are MXU-bound anyway
+                and ch <= 128  # C>128 stages are MXU-efficient in XLA already
             ):
                 from parallelwavegan_tpu.ops.pallas_kernels.hifigan_mrf import (
                     fused_hifigan_mrf,

@@ -11,13 +11,16 @@ is read once and the averaged stage output written once.
 Same-padding semantics at sequence edges are reproduced with per-conv
 masking of out-of-sequence rows (cf. wavenet_stack.py). Inference-only.
 
-STATUS (v5e, round 1): numerically exact (1.7e-4 on the full generator on
+STATUS (v5e, round 1): numerically exact (2.3e-4 on the full generator on
 chip). The block dimension is an inner grid axis (one resblock per grid
-step, DMA once per tile via persistent scratch) which fits t_tile 1536,
-but the kernel is still ~18% slower than XLA end to end: at C=32..64 the
-(T, C) @ (C, C) matmuls use <1/4 of the MXU lanes. Off by default; the
-win needs channel-by-tap im2col packing to widen the contraction (see
-ROADMAP.md).
+step, DMA once per tile via persistent scratch); with the raised
+vmem_limit_bytes the kernel now beats the XLA twin per ISOLATED stage
+(C=32: 6.8 vs 7.7 ms, C=64: 4.7 vs 5.6, C=128: 3.8 vs 4.5 at v1 shapes;
+C=256 parity), but the full generator is still ~5% slower with it enabled
+— the XLA<->pallas transitions around the upsample convs cost more than
+the per-stage wins. Off by default; flipping the balance needs either the
+upsample convs fused into the same kernel or im2col channel-by-tap
+packing to shrink kernel time further (ROADMAP.md).
 """
 
 from __future__ import annotations
@@ -226,6 +229,11 @@ def fused_hifigan_mrf(
             pltpu.VMEM((rows, c), compute_dtype),
             pltpu.SemaphoreType.DMA,
         ],
+        # unrolled dilation temporaries live on the scoped-vmem stack; the
+        # 16 MB default caps t_tile (cf. wavenet_stack.py)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(xp, *flat_w)
     return out[:, :t, :]
