@@ -348,15 +348,21 @@ class InferenceModel:
         return np.asarray(jax.device_get(y))
 
     def _upsample_factor(self) -> int:
+        """Mel frame -> output sample ratio, including PQMF synthesis.
+
+        Multi-band generators emit T*prod(scales) frames PER SUBBAND; the
+        attached PQMF synthesis multiplies the length by `subbands` again
+        (reference layers/pqmf.py:120-149).
+        """
         gp = self.config["generator_params"]
         scales = gp.get("upsample_scales")
         if scales is None and "upsample_params" in gp:
             scales = gp["upsample_params"]["upsample_scales"]
-        if scales is None:
-            return 1
         f = 1
-        for s in scales:
+        for s in scales or ():
             f *= s
+        if self.pqmf is not None:
+            f *= gp.get("out_channels", 1)
         return f
 
 
