@@ -12,15 +12,17 @@ Same-padding semantics at sequence edges are reproduced with per-conv
 masking of out-of-sequence rows (cf. wavenet_stack.py). Inference-only.
 
 STATUS (v5e, round 1): numerically exact (2.3e-4 on the full generator on
-chip). The block dimension is an inner grid axis (one resblock per grid
-step, DMA once per tile via persistent scratch); with the raised
-vmem_limit_bytes the kernel now beats the XLA twin per ISOLATED stage
-(C=32: 6.8 vs 7.7 ms, C=64: 4.7 vs 5.6, C=128: 3.8 vs 4.5 at v1 shapes;
-C=256 parity), but the full generator is still ~5% slower with it enabled
-— the XLA<->pallas transitions around the upsample convs cost more than
-the per-stage wins. Off by default; flipping the balance needs either the
-upsample convs fused into the same kernel or im2col channel-by-tap
-packing to shrink kernel time further (ROADMAP.md).
+chip), but 2-4x SLOWER than XLA's in-context schedule and therefore off
+by default. Careful attribution (per-stage ablation INSIDE one jitted
+generator, not an isolated twin microbenchmark — the isolated twin is 2x
+pessimistic and misled round-1 tuning) puts in-context XLA at C=32@131k:
+3.5 ms, C=64@65k: 1.6, C=128@33k: 2.6, C=256@4k: 0.5. This kernel: 6.7 /
+4.7 / 3.9 ms. Channel-by-tap im2col packing (below) made the matmuls
+K*C-wide but bought nothing — the kernel is bound by VPU masking/layout
+churn, not MXU lanes. XLA's win at C<128 most likely comes from packing
+multiple time steps into the 128-lane dimension (space-to-depth), which
+would need native lane-rotate shifts here; that, or fusing the upsample
+deconv into the same kernel, is the remaining idea (ROADMAP.md).
 """
 
 from __future__ import annotations
@@ -71,11 +73,12 @@ def _kernel(
     xp_hbm, *refs_and_outs, t_tile, halo, block_specs, slope, seq_len,
     n_blocks,
 ):
-    # refs layout: per block (w1, b1, w2, b2) then out, scratch, sem
+    # refs layout: per block (w1, b1, w2, b2) then out, scratch, im2col, sem
     w_refs = refs_and_outs[: 4 * n_blocks]
     out = refs_and_outs[4 * n_blocks]
     x_scratch = refs_and_outs[4 * n_blocks + 1]
-    sem = refs_and_outs[4 * n_blocks + 2]
+    im2col = refs_and_outs[4 * n_blocks + 2]
+    sem = refs_and_outs[4 * n_blocks + 3]
 
     b = pl.program_id(0)
     i = pl.program_id(1)
@@ -113,13 +116,24 @@ def _kernel(
             t = jnp.where(valid, _leaky(xb, slope), jnp.zeros_like(xb))
             pad = (k - 1) * d
             len1 = length - pad
-            z = jnp.dot(lax.slice_in_dim(t, 0, len1, axis=0), w1[di, 0],
+
+            # channel-by-tap im2col: one (len1, K*C) @ (K*C, C) matmul
+            # instead of K narrow C-contractions — at C=32..64 this widens
+            # the MXU contraction from C/128 lanes to K*C/128. Mosaic can't
+            # concat register slices with mismatched sublane offsets, so
+            # the packing goes through a VMEM scratch (stores realign).
+            def pack(src, length_out, step, kk_count):
+                c_src = src.shape[-1]
+                for kk in range(kk_count):
+                    im2col[pl.ds(0, length_out),
+                           pl.ds(kk * c_src, c_src)] = lax.slice_in_dim(
+                        src, kk * step, kk * step + length_out, axis=0
+                    )
+                return im2col[pl.ds(0, length_out),
+                              pl.ds(0, kk_count * c_src)]
+
+            z = jnp.dot(pack(t, len1, d, k), w1[di],
                         preferred_element_type=jnp.float32)
-            for kk in range(1, k):
-                z = z + jnp.dot(
-                    lax.slice_in_dim(t, kk * d, kk * d + len1, axis=0),
-                    w1[di, kk], preferred_element_type=jnp.float32,
-                )
             z = (z + b1[di][None, :]).astype(xb.dtype)
             # second conv (dilation 1), input masked the same way
             gpos2 = pos0 + off + pad // 2 + lax.broadcasted_iota(
@@ -129,13 +143,8 @@ def _kernel(
             z = jnp.where(valid2, _leaky(z, slope), jnp.zeros_like(z))
             pad2 = k - 1
             len2 = len1 - pad2
-            z2 = jnp.dot(lax.slice_in_dim(z, 0, len2, axis=0), w2[di, 0],
+            z2 = jnp.dot(pack(z, len2, 1, k), w2[di],
                          preferred_element_type=jnp.float32)
-            for kk in range(1, k):
-                z2 = z2 + jnp.dot(
-                    lax.slice_in_dim(z, kk, kk + len2, axis=0),
-                    w2[di, kk], preferred_element_type=jnp.float32,
-                )
             z2 = z2 + b2[di][None, :]
             shrink = pad // 2 + pad2 // 2
             xb = (
@@ -195,10 +204,12 @@ def fused_hifigan_mrf(
     flat_w = []
     block_specs = []
     for blk in blocks:
+        nd, kb, cb, _ = blk["w1"].shape
         flat_w += [
-            blk["w1"].astype(compute_dtype),
+            # (n_dil, K, C, C) -> (n_dil, K*C, C) for the im2col matmul
+            blk["w1"].astype(compute_dtype).reshape(nd, kb * cb, cb),
             blk["b1"].astype(jnp.float32),
-            blk["w2"].astype(compute_dtype),
+            blk["w2"].astype(compute_dtype).reshape(nd, kb * cb, cb),
             blk["b2"].astype(jnp.float32),
         ]
         block_specs.append(
@@ -227,6 +238,11 @@ def fused_hifigan_mrf(
         out_shape=jax.ShapeDtypeStruct((b, t_padded, c0), x.dtype),
         scratch_shapes=[
             pltpu.VMEM((rows, c), compute_dtype),
+            pltpu.VMEM(
+                (rows,
+                 _round_up(max(k for k, _ in block_specs) * c0, 128)),
+                compute_dtype,
+            ),
             pltpu.SemaphoreType.DMA,
         ],
         # unrolled dilation temporaries live on the scoped-vmem stack; the
