@@ -1,0 +1,213 @@
+#!/usr/bin/env python3
+"""Kaldi-style data-dir utilities: validate / fix / combine / subset / maps.
+
+Role equivalents of the reference's /root/reference/utils/{validate,fix,
+combine,subset}_data_dir.sh and utt2spk_to_spk2utt.pl (behavioral parity,
+single python entry point):
+
+    data_dir.py validate <dir>            # check consistency, sortedness
+    data_dir.py fix <dir>                 # sort + intersect utt lists
+    data_dir.py combine <dst> <src>...    # concatenate data dirs
+    data_dir.py subset <src> <dst> --first N | --last N | --utt-list F
+    data_dir.py utt2spk-to-spk2utt <dir>  # write spk2utt from utt2spk
+    data_dir.py spk2utt-to-utt2spk <dir>  # write utt2spk from spk2utt
+"""
+
+import argparse
+import os
+import sys
+
+FILES = ["wav.scp", "utt2spk", "segments", "label"]
+
+
+def read_map(path):
+    out = {}
+    with open(path) as f:
+        for line in f:
+            parts = line.rstrip("\n").split(None, 1)
+            if parts:
+                out[parts[0]] = parts[1] if len(parts) > 1 else ""
+    return out
+
+
+def write_map(path, m):
+    with open(path, "w") as f:
+        for k in sorted(m):
+            f.write(f"{k} {m[k]}\n".rstrip() + "\n")
+
+
+def utt_ids(d):
+    """The utterance key set: segments' if present, else wav.scp's."""
+    seg = os.path.join(d, "segments")
+    if os.path.exists(seg):
+        return set(read_map(seg))
+    return set(read_map(os.path.join(d, "wav.scp")))
+
+
+def cmd_validate(args):
+    d = args.dir
+    errors = []
+    wav = os.path.join(d, "wav.scp")
+    if not os.path.exists(wav):
+        errors.append("missing wav.scp")
+    else:
+        recs = read_map(wav)
+        if not recs:
+            errors.append("empty wav.scp")
+        for utt, path in recs.items():
+            if len(path.split()) == 1 and not os.path.exists(path):
+                errors.append(f"wav.scp: missing file for {utt}: {path}")
+                if len(errors) > 20:
+                    break
+        seg = os.path.join(d, "segments")
+        if os.path.exists(seg):
+            for utt, rest in read_map(seg).items():
+                parts = rest.split()
+                if len(parts) != 3:
+                    errors.append(f"segments: malformed line for {utt}")
+                    continue
+                rec, start, end = parts
+                if rec not in recs:
+                    errors.append(f"segments: unknown recording {rec}")
+                if float(end) <= float(start):
+                    errors.append(f"segments: empty span for {utt}")
+        u2s = os.path.join(d, "utt2spk")
+        if os.path.exists(u2s):
+            utts = utt_ids(d)
+            m = read_map(u2s)
+            extra = set(m) - utts
+            missing = utts - set(m)
+            if extra:
+                errors.append(f"utt2spk: {len(extra)} utts not in data "
+                              f"(e.g. {sorted(extra)[:3]})")
+            if missing:
+                errors.append(f"utt2spk: {len(missing)} utts missing "
+                              f"(e.g. {sorted(missing)[:3]})")
+    if errors:
+        for e in errors:
+            print(f"ERROR: {e}", file=sys.stderr)
+        sys.exit(1)
+    print(f"{d}: ok")
+
+
+def cmd_fix(args):
+    d = args.dir
+    utts = utt_ids(d)
+    u2s = os.path.join(d, "utt2spk")
+    if os.path.exists(u2s):
+        utts &= set(read_map(u2s))
+    seg_path = os.path.join(d, "segments")
+    kept_recs = None
+    if os.path.exists(seg_path):
+        segs = {k: v for k, v in read_map(seg_path).items() if k in utts}
+        write_map(seg_path, segs)
+        kept_recs = {v.split()[0] for v in segs.values()}
+    for name in ["utt2spk", "label"]:
+        p = os.path.join(d, name)
+        if os.path.exists(p):
+            keys = kept_recs if name == "label" and kept_recs else utts
+            write_map(p, {k: v for k, v in read_map(p).items() if k in keys})
+    wav_path = os.path.join(d, "wav.scp")
+    wavs = read_map(wav_path)
+    keep = kept_recs if kept_recs is not None else utts
+    write_map(wav_path, {k: v for k, v in wavs.items() if k in keep})
+    print(f"fixed {d}: {len(utts)} utts")
+
+
+def cmd_combine(args):
+    os.makedirs(args.dst, exist_ok=True)
+    for name in FILES:
+        merged = {}
+        found = False
+        for src in args.srcs:
+            p = os.path.join(src, name)
+            if os.path.exists(p):
+                found = True
+                for k, v in read_map(p).items():
+                    if k in merged and merged[k] != v:
+                        sys.exit(f"conflicting entry {k} in {name}")
+                    merged[k] = v
+        if found:
+            write_map(os.path.join(args.dst, name), merged)
+    print(f"combined {len(args.srcs)} dirs into {args.dst}")
+
+
+def cmd_subset(args):
+    utts = sorted(utt_ids(args.src))
+    if args.first:
+        keep = set(utts[: args.first])
+    elif args.last:
+        keep = set(utts[-args.last:])
+    else:
+        with open(args.utt_list) as f:
+            keep = {line.split()[0] for line in f if line.strip()}
+    os.makedirs(args.dst, exist_ok=True)
+    seg_path = os.path.join(args.src, "segments")
+    kept_recs = None
+    if os.path.exists(seg_path):
+        segs = {k: v for k, v in read_map(seg_path).items() if k in keep}
+        write_map(os.path.join(args.dst, "segments"), segs)
+        kept_recs = {v.split()[0] for v in segs.values()}
+    for name in ["wav.scp", "utt2spk", "label"]:
+        p = os.path.join(args.src, name)
+        if not os.path.exists(p):
+            continue
+        keys = keep if kept_recs is None or name == "utt2spk" else kept_recs
+        write_map(os.path.join(args.dst, name),
+                  {k: v for k, v in read_map(p).items() if k in keys})
+    print(f"subset {args.dst}: {len(keep)} utts")
+
+
+def cmd_u2s(args):
+    m = read_map(os.path.join(args.dir, "utt2spk"))
+    spk2utt = {}
+    for utt, spk in m.items():
+        spk2utt.setdefault(spk, []).append(utt)
+    write_map(os.path.join(args.dir, "spk2utt"),
+              {s: " ".join(sorted(us)) for s, us in spk2utt.items()})
+    print(f"wrote spk2utt ({len(spk2utt)} speakers)")
+
+
+def cmd_s2u(args):
+    m = read_map(os.path.join(args.dir, "spk2utt"))
+    utt2spk = {}
+    for spk, utts in m.items():
+        for utt in utts.split():
+            utt2spk[utt] = spk
+    write_map(os.path.join(args.dir, "utt2spk"), utt2spk)
+    print(f"wrote utt2spk ({len(utt2spk)} utts)")
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+    sp = sub.add_parser("validate")
+    sp.add_argument("dir")
+    sp.set_defaults(fn=cmd_validate)
+    sp = sub.add_parser("fix")
+    sp.add_argument("dir")
+    sp.set_defaults(fn=cmd_fix)
+    sp = sub.add_parser("combine")
+    sp.add_argument("dst")
+    sp.add_argument("srcs", nargs="+")
+    sp.set_defaults(fn=cmd_combine)
+    sp = sub.add_parser("subset")
+    sp.add_argument("src")
+    sp.add_argument("dst")
+    g = sp.add_mutually_exclusive_group(required=True)
+    g.add_argument("--first", type=int)
+    g.add_argument("--last", type=int)
+    g.add_argument("--utt-list")
+    sp.set_defaults(fn=cmd_subset)
+    sp = sub.add_parser("utt2spk-to-spk2utt")
+    sp.add_argument("dir")
+    sp.set_defaults(fn=cmd_u2s)
+    sp = sub.add_parser("spk2utt-to-utt2spk")
+    sp.add_argument("dir")
+    sp.set_defaults(fn=cmd_s2u)
+    args = p.parse_args()
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()
