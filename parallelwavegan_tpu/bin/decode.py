@@ -46,6 +46,10 @@ def main():
         help="fused whole-cycle Pallas inference kernel (PWG only; same "
              "params, ~2.2x faster than the XLA path on TPU)",
     )
+    parser.add_argument("--batch-size", type=int, default=1,
+                        help="decode N utterances per forward (length-"
+                             "bucketed); >1 is a serving-throughput mode "
+                             "the reference lacks")
     parser.add_argument("--streaming", default=False, action="store_true",
                         help="chunked decode: fixed-shape jit programs and "
                              "O(chunk) device memory for unbounded lengths "
@@ -110,6 +114,10 @@ def main():
 
     os.makedirs(args.outdir, exist_ok=True)
     fs = config["sampling_rate"]
+
+    if args.batch_size > 1 and not args.use_f0_and_excitation:
+        return _decode_batched(args, model, dataset, fs)
+
     total_rtf = 0.0
     pbar = tqdm(range(len(dataset)))
     for i in pbar:
@@ -139,6 +147,32 @@ def main():
     logging.info(
         "Finished generation of %d utterances (RTF = %.06f).",
         len(dataset), total_rtf / max(len(dataset), 1),
+    )
+
+
+def _decode_batched(args, model, dataset, fs):
+    """Length-bucketed batched decode: N utterances per jitted forward."""
+    items = [(item[0], np.asarray(item[1])) for item in
+             (dataset[i] for i in range(len(dataset)))]
+    items.sort(key=lambda kv: kv[1].shape[0])  # bucket similar lengths
+    total_time, total_audio = 0.0, 0.0
+    pbar = tqdm(range(0, len(items), args.batch_size))
+    for s in pbar:
+        group = items[s : s + args.batch_size]
+        start = time.time()
+        ys = model.inference_batch(
+            [c for _, c in group], normalize_before=args.normalize_before)
+        elapsed = time.time() - start
+        audio = sum(len(y) for y in ys) / fs
+        total_time += elapsed
+        total_audio += audio
+        pbar.set_postfix({"RTF": elapsed / audio})
+        for (utt_id, _), y in zip(group, ys):
+            write_wav(os.path.join(args.outdir, f"{utt_id}_gen.wav"),
+                      fs, np.asarray(y)[:, 0])
+    logging.info(
+        "Finished batched generation of %d utterances (RTF = %.06f).",
+        len(items), total_time / max(total_audio, 1e-9),
     )
 
 

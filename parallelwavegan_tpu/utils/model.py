@@ -160,6 +160,71 @@ class InferenceModel:
         y = np.asarray(jax.device_get(y))
         return y[: t * upsample]
 
+    # -- batched decode ---------------------------------------------------
+    def inference_batch(self, mels: list, normalize_before: bool = False,
+                        rng=None, mesh=None):
+        """Decode a list of mels as ONE batched forward (per length bucket).
+
+        A serving-throughput capability the reference lacks (its decode
+        loops utterance-by-utterance, bin/decode.py:214-234): mels are
+        padded to a shared bucket length, stacked, and run as a single
+        (B, T, C) forward — one program per bucket length instead of per
+        utterance. With ``mesh`` (a 1-D jax.sharding.Mesh), the batch is
+        sharded over its devices; B is padded to a device multiple.
+
+        Returns a list of per-utterance waveforms, trimmed to true length.
+        """
+        if self.generator_type not in self._STREAMABLE:
+            raise ValueError(
+                f"{self.generator_type} does not support batched decode"
+            )
+        mels = [np.asarray(c, np.float32) for c in mels]
+        if normalize_before:
+            assert self.mean is not None, "stats are not registered"
+            mels = [(c - self.mean) / self.scale for c in mels]
+        lens = [c.shape[0] for c in mels]
+        pad_t = -(-max(lens) // self.bucket) * self.bucket
+        batch = np.stack([
+            np.pad(c, ((0, pad_t - c.shape[0]), (0, 0)), mode="edge")
+            for c in mels
+        ])
+        n_pad_rows = 0
+        if mesh is not None:
+            n_dev = int(np.prod(list(mesh.shape.values())))
+            n_pad_rows = (-len(mels)) % n_dev
+            if n_pad_rows:
+                batch = np.concatenate(
+                    [batch, np.repeat(batch[-1:], n_pad_rows, axis=0)]
+                )
+
+        up = self._upsample_factor()
+        rng = rng if rng is not None else jax.random.key(
+            np.random.randint(2**31))
+        use_noise = self.generator_type == "ParallelWaveGANGenerator"
+        z = (jax.random.normal(rng, (batch.shape[0], pad_t * up))
+             if use_noise else jnp.zeros((batch.shape[0], 0)))
+
+        key = ("batch", batch.shape[0], pad_t)
+        if key not in self._jit_cache:
+            fn = self._forward_fn()
+            batched = jax.vmap(fn)
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                axis = list(mesh.shape.keys())[0]
+                shard = NamedSharding(mesh, P(axis))
+                batched = jax.jit(
+                    batched, in_shardings=(shard, shard),
+                    out_shardings=shard,
+                )
+            else:
+                batched = jax.jit(batched)
+            self._jit_cache[key] = batched
+        y = np.asarray(jax.device_get(
+            self._jit_cache[key](jnp.asarray(batch), z)
+        ))
+        return [y[i, : lens[i] * up] for i in range(len(mels))]
+
     # -- streaming (chunked) decode --------------------------------------
     _STREAMABLE = (
         "ParallelWaveGANGenerator",
