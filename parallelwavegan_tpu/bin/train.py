@@ -173,7 +173,16 @@ def main():
     parser.add_argument("--resume", default="", type=str)
     parser.add_argument("--verbose", type=int, default=1)
     parser.add_argument("--rank", "--local_rank", dest="rank", default=0, type=int)
+    parser.add_argument(
+        "--profile", default=None, type=str, metavar="START:STOP",
+        help="capture a jax.profiler trace over the given step window "
+             "(e.g. 50:60) into <outdir>/profile",
+    )
     args = parser.parse_args()
+    if args.profile is not None:
+        start, stop = args.profile.split(":")
+        args.profile_steps = [int(start), int(stop)]
+    del args.profile
 
     logging.basicConfig(
         level=logging.DEBUG if args.verbose > 1 else

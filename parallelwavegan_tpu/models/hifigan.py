@@ -65,6 +65,7 @@ class HiFiGANGenerator(nn.Module):
     use_weight_norm: bool = True
     use_pallas_mrf: bool = False  # fused MRF inference kernel per scale
     pallas_mrf_tile: int = 1536
+    pallas_mrf_max_channels: int = 64  # packed kernel wins for C<=64 stages
 
     def setup(self):
         assert self.kernel_size % 2 == 1, "Kernel size must be odd number."
@@ -151,19 +152,24 @@ class HiFiGANGenerator(nn.Module):
                 and not self.use_causal_conv
                 and self.use_additional_convs
                 and self.bias
-                and ch <= 128  # C>128 stages are MXU-efficient in XLA already
+                and ch <= self.pallas_mrf_max_channels
             ):
                 from parallelwavegan_tpu.ops.pallas_kernels.hifigan_mrf import (
                     fused_hifigan_mrf,
+                    fused_hifigan_mrf_packed,
                 )
 
                 slope = (
                     self.nonlinear_activation_params or {"negative_slope": 0.1}
                 ).get("negative_slope", 0.1)
                 weights = [blk(c, collect_weights=True) for blk in blocks]
-                c = fused_hifigan_mrf(
-                    c, weights, slope=slope, t_tile=self.pallas_mrf_tile
-                )
+                if ch <= 64:
+                    # space-to-depth packing runs the MXU at full lane width
+                    c = fused_hifigan_mrf_packed(c, weights, slope=slope)
+                else:
+                    c = fused_hifigan_mrf(
+                        c, weights, slope=slope, t_tile=self.pallas_mrf_tile
+                    )
             else:
                 cs = jnp.zeros_like(c)
                 for blk in blocks:

@@ -107,6 +107,7 @@ class Trainer:
         self.tick = time.time()
         try:
             for batch in self.train_loader:
+                self._check_profile_window()
                 self._train_step(batch)
                 if self.is_rank0:
                     self._check_log_interval()
@@ -124,6 +125,32 @@ class Trainer:
         logging.info("Finished training (%d steps).", self.steps)
 
     # ------------------------------------------------------------------
+    def _check_profile_window(self):
+        """Capture a jax.profiler trace over a step window.
+
+        SURVEY.md §5: the reference has no tracing beyond decode RTF; the
+        TPU-native equivalent is an XProf/TensorBoard trace. Enabled by
+        config key ``profile_steps: [start, stop]`` (written by the train
+        CLI's --profile flag); the trace lands in <outdir>/profile.
+        """
+        window = self.config.get("profile_steps")
+        if not window or not self.is_rank0:
+            return
+        start, stop = int(window[0]), int(window[1])
+        if self.steps == start and not getattr(self, "_profiling", False):
+            jax.block_until_ready(self.state.params_g)
+            jax.profiler.start_trace(os.path.join(self.outdir, "profile"))
+            self._profiling = True
+            logging.info("profiler: trace started at step %d", self.steps)
+        elif self.steps >= stop and getattr(self, "_profiling", False):
+            self._drain_metrics()  # flush pending transfers into the trace
+            jax.profiler.stop_trace()
+            self._profiling = False
+            logging.info(
+                "profiler: trace written to %s (view with tensorboard "
+                "--logdir or xprof)", os.path.join(self.outdir, "profile"),
+            )
+
     def _phase_flags(self) -> tuple[bool, bool]:
         train_g = self.steps > self.config.get("generator_train_start_steps", 0)
         train_d = self.steps > self.config.get("discriminator_train_start_steps", 0)

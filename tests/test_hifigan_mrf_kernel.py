@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from parallelwavegan_tpu.models import get_model_class
 from parallelwavegan_tpu.ops.pallas_kernels.hifigan_mrf import (
@@ -50,3 +51,29 @@ def test_hifigan_generator_mrf_flag_equivalence():
     y0 = G0.apply(params, c)
     y1 = G1.apply(params, c)  # identical param tree
     np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=5e-5)
+
+
+@pytest.mark.parametrize("c0,t", [(32, 400), (64, 333), (24, 256)])
+def test_packed_mrf_matches_xla(c0, t):
+    """Space-to-depth packed kernel == XLA twin (edge masking included)."""
+    from parallelwavegan_tpu.ops.pallas_kernels.hifigan_mrf import (
+        fused_hifigan_mrf_packed,
+        hifigan_mrf_xla,
+    )
+
+    rs = np.random.RandomState(0)
+    blocks = []
+    for k in (3, 7, 11):
+        blocks.append({
+            "w1": jnp.asarray(rs.randn(3, k, c0, c0) * 0.05, jnp.float32),
+            "b1": jnp.asarray(rs.randn(3, c0) * 0.01, jnp.float32),
+            "w2": jnp.asarray(rs.randn(3, k, c0, c0) * 0.05, jnp.float32),
+            "b2": jnp.asarray(rs.randn(3, c0) * 0.01, jnp.float32),
+            "dilations": (1, 3, 5),
+        })
+    x = jnp.asarray(rs.randn(2, t, c0) * 0.1, jnp.float32)
+    ref = hifigan_mrf_xla(x, blocks)
+    got = fused_hifigan_mrf_packed(x, blocks, t_tile=64, interpret=True)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-4, rtol=1e-3)
