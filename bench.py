@@ -37,6 +37,9 @@ def main():
         upsample_kernel_sizes=(16, 16, 4, 4),
         resblock_kernel_sizes=(3, 7, 11),
         resblock_dilations=((1, 3, 5), (1, 3, 5), (1, 3, 5)),
+        # space-to-depth packed Pallas MRF for the C<=64 stages
+        # (measured: 11.4 -> 10.5 ms vs the pure-XLA path on v5e)
+        use_pallas_mrf=jax.default_backend() == "tpu",
     )
 
     frames = 512  # ~5.9 s of audio at 22.05 kHz / hop 256

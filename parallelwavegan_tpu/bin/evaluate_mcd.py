@@ -20,27 +20,12 @@ from parallelwavegan_tpu.ops.metrics import mel_cepstral_distortion
 from parallelwavegan_tpu.utils.io import read_wav_entry, wav_index
 
 
-def _mcep_params_for_fs(fs: int) -> dict:
-    """fs-dependent analysis settings (reference :106-118 uses fs-scaled
-    fft/shift and mcep order; mirrored here with mel counts)."""
-    if fs <= 8000:
-        return {"n_fft": 256, "hop": 80, "n_mels": 26}
-    if fs <= 16000:
-        return {"n_fft": 512, "hop": 160, "n_mels": 30}
-    if fs <= 22050:
-        return {"n_fft": 1024, "hop": 256, "n_mels": 34}
-    if fs <= 24000:
-        return {"n_fft": 1024, "hop": 256, "n_mels": 34}
-    return {"n_fft": 2048, "hop": 480, "n_mels": 38}
-
-
 def _evaluate_one(pair):
-    utt_id, gen_entry, gt_entry = pair
+    utt_id, gen_entry, gt_entry, opts = pair
     fs_gen, gen = read_wav_entry(gen_entry)
     fs_gt, gt = read_wav_entry(gt_entry)
     assert fs_gen == fs_gt, f"{utt_id}: fs mismatch"
-    params = _mcep_params_for_fs(fs_gen)
-    mcd = mel_cepstral_distortion(gen, gt, fs_gen, **params)
+    mcd = mel_cepstral_distortion(gen, gt, fs_gen, **opts)
     return utt_id, mcd
 
 
@@ -53,6 +38,12 @@ def main():
                         help="directory with ground-truth wavs, or a wav.scp "
                              "(optional sibling segments file)")
     parser.add_argument("--outdir", type=str, default=None)
+    parser.add_argument("--n_fft", type=int, default=1024)
+    parser.add_argument("--n_shift", type=int, default=256)
+    parser.add_argument("--mcep_dim", type=int, default=None,
+                        help="mel-cepstrum order (default: fs-dependent)")
+    parser.add_argument("--mcep_alpha", type=float, default=None,
+                        help="all-pass alpha (default: fs-dependent)")
     parser.add_argument("--n_jobs", type=int, default=8)
     parser.add_argument("--verbose", type=int, default=1)
     args = parser.parse_args()
@@ -74,7 +65,10 @@ def main():
         if match is None:
             logging.warning("no ground truth for %s; skipped.", utt)
             continue
-        pairs.append((utt, gen_entry, match))
+        pairs.append((utt, gen_entry, match, {
+            "n_fft": args.n_fft, "n_shift": args.n_shift,
+            "mcep_dim": args.mcep_dim, "mcep_alpha": args.mcep_alpha,
+        }))
     logging.info("number of utterances = %d", len(pairs))
 
     with mp.Pool(args.n_jobs) as pool:

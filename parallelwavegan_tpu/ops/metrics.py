@@ -5,43 +5,17 @@ Behavioral reference: /root/reference/parallel_wavegan/bin/evaluate_mcd.py
 (pyworld F0 -> log-F0 RMSE / semitone accuracy / VUV error).
 
 Dependency note: pysptk/pyworld/fastdtw are not available in this build.
-The same metric contracts are served by numpy implementations: mel-cepstra
-come from a DCT-II of the log-mel spectrum (MFCC-family cepstra rather
-than SPTK's mel-generalized cepstrum — absolute MCD values differ by a
-constant-ish offset from pysptk's, but orderings/comparisons hold), DTW is
-an exact O(T1*T2) banded dynamic program, F0 is the YIN tracker from
-ops/f0.py.
+MCD uses the exact SPTK mel-cepstral analysis re-implemented in
+ops/mcep.py (same UELS minimizer as pysptk.mcep, hamming-windowed frames,
+c0 included, the reference's 10/ln10*sqrt(2*sum d^2) formula), DTW is an
+exact O(T1*T2) dynamic program (the reference's fastdtw is an
+approximation of the same alignment), F0 is the YIN tracker from
+ops/f0.py standing in for pyworld's harvest/dio.
 """
 
 from __future__ import annotations
 
 import numpy as np
-
-from parallelwavegan_tpu.ops.mel import logmelfilterbank
-
-MCD_CONST = 10.0 / np.log(10.0) * np.sqrt(2.0)
-
-
-def mel_cepstrum(
-    audio: np.ndarray,
-    fs: int,
-    n_fft: int = 512,
-    hop: int = 256,
-    n_mels: int = 34,
-    mcep_dim: int | None = None,
-) -> np.ndarray:
-    """Mel-cepstral coefficients per frame (c1..c_dim; c0/energy dropped)."""
-    from scipy.fftpack import dct
-
-    if mcep_dim is None:
-        mcep_dim = n_mels - 1
-    logmel = logmelfilterbank(
-        audio, fs, fft_size=n_fft, hop_size=hop, num_mels=n_mels,
-        fmin=0, fmax=fs / 2, log_base=None,
-    )
-    cep = dct(logmel, type=2, axis=-1, norm="ortho")
-    return cep[:, 1 : mcep_dim + 1]
-
 
 def dtw_path(x: np.ndarray, y: np.ndarray):
     """Exact DTW alignment between feature sequences (T1, D) and (T2, D).
@@ -91,14 +65,32 @@ def dtw_path(x: np.ndarray, y: np.ndarray):
 
 def mel_cepstral_distortion(
     gen_audio: np.ndarray, gt_audio: np.ndarray, fs: int,
-    n_fft: int = 512, hop: int = 256, n_mels: int = 34,
+    n_fft: int = 1024, n_shift: int = 256,
+    mcep_dim: int | None = None, mcep_alpha: float | None = None,
 ) -> float:
-    """DTW-aligned MCD in dB between generated and ground-truth audio."""
-    mc_gen = mel_cepstrum(gen_audio, fs, n_fft, hop, n_mels)
-    mc_gt = mel_cepstrum(gt_audio, fs, n_fft, hop, n_mels)
+    """DTW-aligned MCD in dB between generated and ground-truth audio.
+
+    Matches the reference pipeline (evaluate_mcd.py:130-172): SPTK
+    mel-cepstra over hamming frames (c0 INCLUDED), DTW alignment,
+    mean of 10/ln10 * sqrt(2 * sum(diff^2)).
+    """
+    from parallelwavegan_tpu.ops.mcep import sptk_extract
+
+    # reference reads wavs as int16; scale float audio likewise so the
+    # eps=1e-6 periodogram floor is as negligible as it is there
+    def _as_int16_scale(x):
+        x = np.asarray(x, np.float64)
+        return x * 32768.0 if np.abs(x).max() <= 4.0 else x
+
+    gen_audio = _as_int16_scale(gen_audio)
+    gt_audio = _as_int16_scale(gt_audio)
+    mc_gen = sptk_extract(gen_audio, fs, n_fft, n_shift, mcep_dim, mcep_alpha)
+    mc_gt = sptk_extract(gt_audio, fs, n_fft, n_shift, mcep_dim, mcep_alpha)
     px, py = dtw_path(mc_gen, mc_gt)
     diff = mc_gen[px] - mc_gt[py]
-    return float(np.mean(MCD_CONST * np.sqrt(np.sum(diff**2, axis=1))))
+    return float(
+        np.mean(10.0 / np.log(10.0) * np.sqrt(2.0 * np.sum(diff**2, axis=1)))
+    )
 
 
 def f0_metrics(
@@ -111,11 +103,12 @@ def f0_metrics(
     way before comparing pyworld F0 tracks).
     """
     from parallelwavegan_tpu.ops.f0 import yin_f0
+    from parallelwavegan_tpu.ops.mcep import sptk_extract
 
     f0_gen = yin_f0(gen_audio, fs, hop, fmin=f0min, fmax=f0max)
     f0_gt = yin_f0(gt_audio, fs, hop, fmin=f0min, fmax=f0max)
-    mc_gen = mel_cepstrum(gen_audio, fs, hop=hop)
-    mc_gt = mel_cepstrum(gt_audio, fs, hop=hop)
+    mc_gen = sptk_extract(np.asarray(gen_audio, np.float64), fs, n_shift=hop)
+    mc_gt = sptk_extract(np.asarray(gt_audio, np.float64), fs, n_shift=hop)
     n_gen = min(len(f0_gen), len(mc_gen))
     n_gt = min(len(f0_gt), len(mc_gt))
     px, py = dtw_path(mc_gen[:n_gen], mc_gt[:n_gt])
