@@ -9,8 +9,9 @@ scp_dataset.py (:45, :173, :271 — kaldi-style scp datasets with segments
 support). Same query/load_fn/threshold/cache surface, torch-free: items
 are plain numpy arrays consumed by the Collater.
 
-kaldi ark support requires kaldiio, which is optional in this build; HDF5
-scp (`path.h5:dataset`), npy scp, and wav scp (+segments) are native.
+kaldi binary ark scp (`path.ark:offset`, incl. compressed matrices), HDF5
+scp (`path.h5:dataset`), npy scp, and wav scp (+segments) are all native
+(utils/kaldi_ark.py replaces the reference's kaldiio dependency).
 """
 
 from __future__ import annotations
@@ -381,10 +382,9 @@ def _get_feats_scp_loader(feats_scp):
     if ":" in value:
         value_ = value.split(":")[0]
         if value_.endswith(".ark"):
-            raise RuntimeError(
-                "kaldi ark scp requires kaldiio, which is not available in "
-                "this build; dump features as hdf5 or npy instead."
-            )
+            from parallelwavegan_tpu.utils.kaldi_ark import ArkScpLoader
+
+            return ArkScpLoader(feats_scp)
         if value_.endswith(".h5"):
             return HDF5ScpLoader(feats_scp)
         raise ValueError(f"Not supported feats.scp type ({value}).")
