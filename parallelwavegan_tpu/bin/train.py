@@ -235,11 +235,13 @@ def main():
         seed=config.get("seed", 0),
         shard_index=jax.process_index(),
         num_shards=jax.process_count(),
+        num_workers=config.get("num_workers", 1),
     )
     dev_loader = None
     if dev_dataset is not None:
         dev_loader = DataLoader(
-            dev_dataset, collater, batch_size=per_host_batch, shuffle=False
+            dev_dataset, collater, batch_size=per_host_batch, shuffle=False,
+            num_workers=config.get("num_workers", 1),
         )
 
     # models

@@ -61,19 +61,24 @@ class Collater:
             self.end_offset = -self.batch_max_steps
             self.audio_threshold = self.batch_max_steps
 
-    def __call__(self, batch) -> dict:
+    def __call__(self, batch, rng=None) -> dict:
         """Collate items into a dict of float32/int32 numpy arrays.
 
         Returns keys among: 'y' (B, T, 1), 'c' (B, T'+2w, C), 'z' (B, T, 1),
         'f0' (B, T', 1), 'excitation' (B, T', C'), 'ds' (B, T'), 'local',
         'global'.
+
+        ``rng`` overrides the instance generator for this call — the loader
+        passes a per-batch child generator so concurrent batch assembly is
+        thread-safe and seed-deterministic.
         """
+        rng = rng if rng is not None else self.rng
         if self.use_aux_input:
-            return self._collate_mel2wav(batch)
-        return self._collate_vq(batch)
+            return self._collate_mel2wav(batch, rng)
+        return self._collate_vq(batch, rng)
 
     # ------------------------------------------------------------------
-    def _collate_mel2wav(self, batch) -> dict:
+    def _collate_mel2wav(self, batch, rng) -> dict:
         batch = [
             self._adjust_length(*b) for b in batch if len(b[1]) > self.mel_threshold
         ]
@@ -88,7 +93,7 @@ class Collater:
         c_lengths = [len(c) for c in cs]
         start_frames = np.array(
             [
-                self.rng.integers(self.start_offset, cl + self.end_offset)
+                rng.integers(self.start_offset, cl + self.end_offset)
                 for cl in c_lengths
             ]
         )
@@ -124,7 +129,7 @@ class Collater:
 
         out = {"c": c_batch.astype(np.float32), "y": y_batch}
         if self.use_noise_input:
-            out["z"] = self.rng.standard_normal(y_batch.shape).astype(np.float32)
+            out["z"] = rng.standard_normal(y_batch.shape).astype(np.float32)
         if self.use_f0_and_excitation:
             fs = [b[2] for b in batch]
             es = [b[3] for b in batch]
@@ -139,7 +144,7 @@ class Collater:
         return out
 
     # ------------------------------------------------------------------
-    def _collate_vq(self, batch) -> dict:
+    def _collate_vq(self, batch, rng) -> dict:
         if self.use_local_condition:
             items = [b for b in batch if len(b[1]) >= self.mel_threshold]
             items = [
@@ -148,7 +153,7 @@ class Collater:
             l_lengths = [len(b[1]) for b in items]
             l_starts = np.array(
                 [
-                    self.rng.integers(self.start_offset, ll + self.end_offset)
+                    rng.integers(self.start_offset, ll + self.end_offset)
                     for ll in l_lengths
                 ]
             )
@@ -176,7 +181,7 @@ class Collater:
         y_lengths = [len(b[0]) for b in items]
         y_starts = np.array(
             [
-                self.rng.integers(self.start_offset, yl + self.end_offset)
+                rng.integers(self.start_offset, yl + self.end_offset)
                 for yl in y_lengths
             ]
         )

@@ -151,6 +151,33 @@ def test_loader_sharding_partitions_dataset():
     assert sorted(seen) == list(range(10))
 
 
+def test_loader_deterministic_across_num_workers():
+    """Parallel batch assembly must reproduce the serial stream bit-exactly
+    (per-batch child rng, ordered consumption)."""
+
+    class DS:
+        def __init__(self):
+            self.items = _items(12, frames=24)
+
+        def __len__(self):
+            return len(self.items)
+
+        def __getitem__(self, i):
+            return self.items[i]
+
+    ds = DS()
+    col = Collater(batch_max_steps=512, hop_size=64, aux_context_window=0,
+                   use_noise_input=True)
+    streams = []
+    for nw in (1, 4):
+        it = iter(DataLoader(ds, col, batch_size=4, seed=3, num_workers=nw))
+        streams.append([next(it) for _ in range(8)])
+    for b1, b4 in zip(*streams):
+        assert set(b1) == set(b4)
+        for k in b1:
+            np.testing.assert_array_equal(b1[k], b4[k])
+
+
 # -------------------------------------------------------------- checkpoint
 
 
