@@ -219,7 +219,7 @@ class ConvTranspose1d(_NormalizedKernel):
     bias_init: Callable | None = None
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array, *, return_params: bool = False):
         in_ch = x.shape[-1]
         shape = (self.kernel_size, in_ch, self.features)
         fan_in = self.kernel_size * in_ch  # torch fan_in for transpose conv
@@ -234,6 +234,9 @@ class ConvTranspose1d(_NormalizedKernel):
         if self.use_bias:
             binit = self.bias_init or torch_conv_init(fan_in)
             bias = self.param("bias", binit, (self.features,))
+        if return_params:
+            # fused-kernel path: effective (normalized) kernel + bias
+            return kernel, bias
         return conv_transpose1d(
             x,
             kernel,

@@ -66,6 +66,11 @@ class HiFiGANGenerator(nn.Module):
     use_pallas_mrf: bool = False  # fused MRF inference kernel per scale
     pallas_mrf_tile: int = 1536
     pallas_mrf_max_channels: int = 64  # packed kernel wins for C<=64 stages
+    # fuse the last two stride-2 stages + output conv into ONE packed
+    # kernel (ops/pallas_kernels/hifigan_tail.py); measured ~2x over the
+    # isolated XLA schedule on v5e
+    use_pallas_tail: bool = False
+    pallas_tail_tile: int = 1024
 
     def setup(self):
         assert self.kernel_size % 2 == 1, "Kernel size must be odd number."
@@ -103,11 +108,31 @@ class HiFiGANGenerator(nn.Module):
                 name="input_conv",
             )(c)
 
+        n_up = len(self.upsample_scales)
+        tail_from = None
+        if (
+            self.use_pallas_tail
+            and not self.use_causal_conv
+            and self.use_additional_convs
+            and self.bias
+            and self.out_channels == 1
+            and self.nonlinear_activation == "LeakyReLU"
+            and n_up >= 2
+            and all(s == 2 for s in self.upsample_scales[-2:])
+        ):
+            c_tail = self.channels // (2 ** (n_up - 2))
+            # packed lanes are conserved only when the tail entry channel
+            # count is a power of two <= 128 (C halves as T doubles)
+            if c_tail <= 128 and (c_tail & (c_tail - 1)) == 0:
+                tail_from = n_up - 2
+
         for i, (scale, ksize) in enumerate(
             zip(self.upsample_scales, self.upsample_kernel_sizes)
         ):
             assert ksize == 2 * scale
             ch = self.channels // (2 ** (i + 1))
+            if tail_from is not None and i == tail_from:
+                return self._fused_tail(c, tail_from, norm, kinit, num_blocks)
             c = act(c)
             if self.use_causal_conv:
                 c = CausalConvTranspose1d(
@@ -198,6 +223,69 @@ class HiFiGANGenerator(nn.Module):
                 name="output_conv",
             )(c)
         return jnp.tanh(c)
+
+    def _fused_tail(self, c, tail_from: int, norm, kinit, num_blocks: int):
+        """Collect effective weights for the last two stages + output conv
+        (same param tree as the standard path) and run the fused tail
+        kernel (ops/pallas_kernels/hifigan_tail.py)."""
+        from parallelwavegan_tpu.ops.pallas_kernels.hifigan_tail import (
+            fused_hifigan_tail,
+        )
+
+        n_up = len(self.upsample_scales)
+        slope = (
+            self.nonlinear_activation_params or {"negative_slope": 0.1}
+        ).get("negative_slope", 0.1)
+        stages = []
+        dummy_in = c
+        for j in range(tail_from, n_up):
+            scale = self.upsample_scales[j]
+            chj = self.channels // (2 ** (j + 1))
+            dw, db = ConvTranspose1d(
+                features=chj,
+                kernel_size=self.upsample_kernel_sizes[j],
+                stride=scale,
+                padding=scale // 2 + scale % 2,
+                output_padding=scale % 2,
+                use_bias=self.bias,
+                norm=norm,
+                kernel_init=kinit,
+                name=f"upsamples_{j}",
+            )(dummy_in, return_params=True)
+            dummy = jnp.zeros(c.shape[:2] + (chj,), c.dtype)
+            blocks_w = [
+                HiFiGANResidualBlock(
+                    kernel_size=self.resblock_kernel_sizes[jj],
+                    channels=chj,
+                    dilations=self.resblock_dilations[jj],
+                    use_bias=self.bias,
+                    use_additional_convs=self.use_additional_convs,
+                    nonlinear_activation=self.nonlinear_activation,
+                    nonlinear_activation_params=self.nonlinear_activation_params
+                    or {"negative_slope": 0.1},
+                    use_causal_conv=self.use_causal_conv,
+                    norm=norm,
+                    name=f"blocks_{j * num_blocks + jj}",
+                )(dummy, collect_weights=True)
+                for jj in range(num_blocks)
+            ]
+            stages.append({
+                "deconv_w": dw, "deconv_b": db, "stride": scale,
+                "padding": scale // 2 + scale % 2, "blocks": blocks_w,
+            })
+            dummy_in = dummy
+        fw, fb = Conv1d(
+            features=self.out_channels,
+            kernel_size=self.kernel_size,
+            padding="same",
+            use_bias=self.bias,
+            norm=norm,
+            kernel_init=kinit,
+            name="output_conv",
+        )(dummy_in, return_params=True)
+        return fused_hifigan_tail(
+            c, stages, fw, fb, slope=slope, t_tile=self.pallas_tail_tile
+        )
 
     # --- metadata used by trainer/decoder wiring -------------------------
     @property
