@@ -38,13 +38,11 @@ def main():
         resblock_kernel_sizes=(3, 7, 11),
         resblock_dilations=((1, 3, 5), (1, 3, 5), (1, 3, 5)),
         # fused Pallas decode path (measured on v5e, frames=512):
-        #   pure XLA                         11.4 ms  (RTF 0.0019)
-        #   + packed MRF C<=64               10.5 ms  (RTF 0.0018)
-        #   + fused tail + MRF kernel @128    7.3 ms  (RTF 0.0012)
+        #   pure XLA                               11.4 ms  (RTF 0.0019)
+        #   + packed MRF C<=64                     10.5 ms  (RTF 0.0018)
+        #   + fused tail (incl. C=128 MRF fold)     7.3 ms  (RTF 0.0012)
         use_pallas_tail=jax.default_backend() == "tpu",
-        use_pallas_mrf=jax.default_backend() == "tpu",
-        pallas_mrf_max_channels=128,
-        pallas_tail_tile=1024,
+        pallas_tail_tile=2048,
     )
 
     frames = 512  # ~5.9 s of audio at 22.05 kHz / hop 256

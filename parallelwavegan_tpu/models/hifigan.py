@@ -125,14 +125,38 @@ class HiFiGANGenerator(nn.Module):
             # count is a power of two <= 128 (C halves as T doubles)
             if c_tail <= 128 and (c_tail & (c_tail - 1)) == 0:
                 tail_from = n_up - 2
+        # when there is a preceding stage, its MRF runs at the tail entry
+        # rate and folds into the same kernel (after that stage's deconv)
+        tail_pre = tail_from - 1 if tail_from not in (None, 0) else None
 
         for i, (scale, ksize) in enumerate(
             zip(self.upsample_scales, self.upsample_kernel_sizes)
         ):
             assert ksize == 2 * scale
             ch = self.channels // (2 ** (i + 1))
-            if tail_from is not None and i == tail_from:
-                return self._fused_tail(c, tail_from, norm, kinit, num_blocks)
+            if tail_from is not None and i == (
+                tail_pre if tail_pre is not None else tail_from
+            ):
+                if tail_pre is None:
+                    return self._fused_tail(
+                        c, tail_from, norm, kinit, num_blocks, pre=False
+                    )
+                # run this stage's act+deconv, fold its MRF into the kernel
+                c = act(c)
+                c = ConvTranspose1d(
+                    features=ch,
+                    kernel_size=ksize,
+                    stride=scale,
+                    padding=scale // 2 + scale % 2,
+                    output_padding=scale % 2,
+                    use_bias=self.bias,
+                    norm=norm,
+                    kernel_init=kinit,
+                    name=f"upsamples_{i}",
+                )(c)
+                return self._fused_tail(
+                    c, tail_from, norm, kinit, num_blocks, pre=True
+                )
             c = act(c)
             if self.use_causal_conv:
                 c = CausalConvTranspose1d(
@@ -224,10 +248,13 @@ class HiFiGANGenerator(nn.Module):
             )(c)
         return jnp.tanh(c)
 
-    def _fused_tail(self, c, tail_from: int, norm, kinit, num_blocks: int):
+    def _fused_tail(self, c, tail_from: int, norm, kinit, num_blocks: int,
+                    pre: bool = False):
         """Collect effective weights for the last two stages + output conv
         (same param tree as the standard path) and run the fused tail
-        kernel (ops/pallas_kernels/hifigan_tail.py)."""
+        kernel (ops/pallas_kernels/hifigan_tail.py). With ``pre``, c is
+        the post-deconv input of stage tail_from-1 and that stage's MRF
+        runs inside the kernel at the entry rate."""
         from parallelwavegan_tpu.ops.pallas_kernels.hifigan_tail import (
             fused_hifigan_tail,
         )
@@ -236,6 +263,27 @@ class HiFiGANGenerator(nn.Module):
         slope = (
             self.nonlinear_activation_params or {"negative_slope": 0.1}
         ).get("negative_slope", 0.1)
+        pre_blocks = None
+        if pre:
+            j = tail_from - 1
+            chp = self.channels // (2 ** (j + 1))
+            dummy = jnp.zeros(c.shape[:2] + (chp,), c.dtype)
+            pre_blocks = [
+                HiFiGANResidualBlock(
+                    kernel_size=self.resblock_kernel_sizes[jj],
+                    channels=chp,
+                    dilations=self.resblock_dilations[jj],
+                    use_bias=self.bias,
+                    use_additional_convs=self.use_additional_convs,
+                    nonlinear_activation=self.nonlinear_activation,
+                    nonlinear_activation_params=self.nonlinear_activation_params
+                    or {"negative_slope": 0.1},
+                    use_causal_conv=self.use_causal_conv,
+                    norm=norm,
+                    name=f"blocks_{j * num_blocks + jj}",
+                )(dummy, collect_weights=True)
+                for jj in range(num_blocks)
+            ]
         stages = []
         dummy_in = c
         for j in range(tail_from, n_up):
@@ -284,7 +332,8 @@ class HiFiGANGenerator(nn.Module):
             name="output_conv",
         )(dummy_in, return_params=True)
         return fused_hifigan_tail(
-            c, stages, fw, fb, slope=slope, t_tile=self.pallas_tail_tile
+            c, stages, fw, fb, slope=slope, t_tile=self.pallas_tail_tile,
+            pre_blocks=pre_blocks,
         )
 
     # --- metadata used by trainer/decoder wiring -------------------------

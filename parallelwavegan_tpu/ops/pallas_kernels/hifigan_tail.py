@@ -89,10 +89,14 @@ def _pack_bias(b, p_out: int, c0p_out: int):
 # --------------------------------------------------------------------------
 
 
-def hifigan_tail_xla(x, stages, final_w, final_b, slope: float = 0.1):
+def hifigan_tail_xla(x, stages, final_w, final_b, slope: float = 0.1,
+                     pre_blocks=None):
     """stages: [{deconv_w (K,Cin,Cout), deconv_b, stride, padding,
-    blocks: [mrf block dicts]}]; final_w (K, C, out)."""
+    blocks: [mrf block dicts]}]; final_w (K, C, out); pre_blocks: optional
+    MRF at the input rate (run before the first stage)."""
     c = x
+    if pre_blocks is not None:
+        c = hifigan_mrf_xla(c, pre_blocks, slope)
     for st in stages:
         c = _leaky(c, slope)
         c = conv_transpose1d(
@@ -117,8 +121,8 @@ def hifigan_tail_xla(x, stages, final_w, final_b, slope: float = 0.1):
 
 def _kernel_tail(
     x_hbm,  # (B, rows_padded, 128) ANY
-    *refs, t_tile: int, halo: int, stage_specs: tuple, final_spec: tuple,
-    slope: float, n_weights: int,
+    *refs, t_tile: int, halo: int, pre_spec, stage_specs: tuple,
+    final_spec: tuple, slope: float, n_weights: int,
 ):
     w_refs = refs[:n_weights]
     out = refs[n_weights]
@@ -166,15 +170,7 @@ def _kernel_tail(
         wi += 1
         return r
 
-    xv = x_scratch[:]
-    off, length = 0, rows
-    for spec in stage_specs:
-        (p_in, c0p_in, seq_in, dshifts, p_out, c0p_out, seq_out,
-         block_specs) = spec
-        wd, bd = next_ref(), next_ref()
-        t = mask_rows(_leaky(xv, slope), off, length, p_in, c0p_in, seq_in)
-        xv, off, length = apply_conv(t, off, length, dshifts, wd, bd)
-
+    def run_mrf(xv, off, length, block_specs, p, c0p, seq):
         results = []
         blk_refs = [
             [(next_ref(), next_ref(), next_ref(), next_ref())
@@ -183,11 +179,9 @@ def _kernel_tail(
         for blk, refs_b in zip(block_specs, blk_refs):
             xb, ob, lb = xv, off, length
             for (s1, s2), (w1, b1, w2, b2) in zip(blk, refs_b):
-                t1 = mask_rows(_leaky(xb, slope), ob, lb, p_out, c0p_out,
-                               seq_out)
+                t1 = mask_rows(_leaky(xb, slope), ob, lb, p, c0p, seq)
                 z, o1, l1 = apply_conv(t1, ob, lb, s1, w1, b1)
-                t2 = mask_rows(_leaky(z, slope), o1, l1, p_out, c0p_out,
-                               seq_out)
+                t2 = mask_rows(_leaky(z, slope), o1, l1, p, c0p, seq)
                 z2, o2, l2 = apply_conv(t2, o1, l1, s2, w2, b2)
                 xb = lax.slice_in_dim(xb, o2 - ob, o2 - ob + l2, axis=0) + z2
                 ob, lb = o2, l2
@@ -200,8 +194,21 @@ def _kernel_tail(
                 xb, off_new - ob, off_new - ob + (end_new - off_new), axis=0
             )
             acc = sl if acc is None else acc + sl
-        xv = acc / len(results)
-        off, length = off_new, end_new - off_new
+        return acc / len(results), off_new, end_new - off_new
+
+    xv = x_scratch[:]
+    off, length = 0, rows
+    if pre_spec is not None:
+        pre_blocks, p0, c0p0, seq0 = pre_spec
+        xv, off, length = run_mrf(xv, off, length, pre_blocks, p0, c0p0, seq0)
+    for spec in stage_specs:
+        (p_in, c0p_in, seq_in, dshifts, p_out, c0p_out, seq_out,
+         block_specs) = spec
+        wd, bd = next_ref(), next_ref()
+        t = mask_rows(_leaky(xv, slope), off, length, p_in, c0p_in, seq_in)
+        xv, off, length = apply_conv(t, off, length, dshifts, wd, bd)
+        xv, off, length = run_mrf(xv, off, length, block_specs, p_out,
+                                  c0p_out, seq_out)
 
     fshifts, p_last, c0p_last, seq_last = final_spec
     wf, bf = next_ref(), next_ref()
@@ -224,14 +231,44 @@ def _pow2_at_least(n: int) -> int:
     return p
 
 
+def _block_specs_and_weights(blocks, p, c0p, flat_w):
+    """Shift specs + packed weights for one MRF; returns (specs, hl, hr)."""
+    block_specs = []
+    bhl = bhr = 0
+    for blk in blocks:
+        kb = int(blk["w1"].shape[1])
+        spec = []
+        cl = cr = 0
+        for di, d in enumerate(blk["dilations"]):
+            t1 = _conv_shift_table(kb, int(d), p)
+            t2 = _conv_shift_table(kb, 1, p)
+            s1, s2 = tuple(t1.keys()), tuple(t2.keys())
+            spec.append((s1, s2))
+            flat_w.append(_pack_weight(
+                t1, blk["w1"][di].astype(jnp.float32), c0p, c0p))
+            flat_w.append(_pack_bias(blk["b1"][di].astype(jnp.float32),
+                                     p, c0p))
+            flat_w.append(_pack_weight(
+                t2, blk["w2"][di].astype(jnp.float32), c0p, c0p))
+            flat_w.append(_pack_bias(blk["b2"][di].astype(jnp.float32),
+                                     p, c0p))
+            cl += -s1[0] - s2[0]
+            cr += s1[-1] + s2[-1]
+        block_specs.append(tuple(spec))
+        bhl, bhr = max(bhl, cl), max(bhr, cr)
+    return tuple(block_specs), bhl, bhr
+
+
 def fused_hifigan_tail(
     x, stages, final_w, final_b, *, slope: float = 0.1, t_tile: int = 512,
-    interpret: bool = False,
+    pre_blocks=None, interpret: bool = False,
 ):
     """x (B, T0, C0) -> (B, T0 * prod(strides), final_out_channels).
 
     Requires p*C == 128 lanes to be conserved through every stage
     (C0 a power of two <= 128, each stage Cout == Cin // stride).
+    ``pre_blocks`` optionally runs an MRF at the input rate first (the
+    stage whose deconv happened outside the kernel).
     """
     interpret = interpret or jax.default_backend() != "tpu"
     b, t0, c0 = x.shape
@@ -244,6 +281,13 @@ def fused_hifigan_tail(
     hl = hr = 0
     seq = t0
     p_cur, c0p_cur = p, c0p
+
+    pre_spec = None
+    if pre_blocks is not None:
+        specs, bhl, bhr = _block_specs_and_weights(pre_blocks, p, c0p, flat_w)
+        pre_spec = (specs, p, c0p, t0)
+        hl += bhl
+        hr += bhr
     for st in stages:
         k, cin, cout = st["deconv_w"].shape
         s = int(st["stride"])
@@ -262,34 +306,14 @@ def fused_hifigan_tail(
         hr += dshifts[-1]
         seq_out = seq * s
 
-        block_specs = []
-        bhl = bhr = 0
-        for blk in st["blocks"]:
-            kb = int(blk["w1"].shape[1])
-            spec = []
-            cl = cr = 0
-            for di, d in enumerate(blk["dilations"]):
-                t1 = _conv_shift_table(kb, int(d), p_out)
-                t2 = _conv_shift_table(kb, 1, p_out)
-                s1, s2 = tuple(t1.keys()), tuple(t2.keys())
-                spec.append((s1, s2))
-                flat_w.append(_pack_weight(
-                    t1, blk["w1"][di].astype(jnp.float32), c0p_out, c0p_out))
-                flat_w.append(_pack_bias(blk["b1"][di].astype(jnp.float32),
-                                         p_out, c0p_out))
-                flat_w.append(_pack_weight(
-                    t2, blk["w2"][di].astype(jnp.float32), c0p_out, c0p_out))
-                flat_w.append(_pack_bias(blk["b2"][di].astype(jnp.float32),
-                                         p_out, c0p_out))
-                cl += -s1[0] - s2[0]
-                cr += s1[-1] + s2[-1]
-            block_specs.append(tuple(spec))
-            bhl, bhr = max(bhl, cl), max(bhr, cr)
+        block_specs, bhl, bhr = _block_specs_and_weights(
+            st["blocks"], p_out, c0p_out, flat_w
+        )
         hl += bhl
         hr += bhr
         stage_specs.append((
             p_cur, c0p_cur, seq, dshifts, p_out, c0p_out, seq_out,
-            tuple(block_specs),
+            block_specs,
         ))
         p_cur, c0p_cur, seq = p_out, c0p_out, seq_out
 
@@ -324,7 +348,7 @@ def fused_hifigan_tail(
         ))
 
     kernel = functools.partial(
-        _kernel_tail, t_tile=t_tile, halo=halo,
+        _kernel_tail, t_tile=t_tile, halo=halo, pre_spec=pre_spec,
         stage_specs=tuple(stage_specs), final_spec=final_spec,
         slope=slope, n_weights=len(flat_w),
     )

@@ -54,6 +54,32 @@ def test_tail_kernel_matches_xla(c0, t0):
                                atol=2e-5, rtol=1e-4)
 
 
+def test_tail_kernel_pre_blocks():
+    """Optional MRF at the input rate folds into the same kernel."""
+    rs = np.random.RandomState(3)
+    c0, t0 = 64, 120
+    pre = _make_blocks(rs, c0, kernel_sizes=(3, 7))
+    stages = []
+    cin = c0
+    for _ in range(2):
+        cout = cin // 2
+        stages.append({
+            "deconv_w": jnp.asarray(rs.randn(4, cin, cout) * 0.05,
+                                    jnp.float32),
+            "deconv_b": jnp.asarray(rs.randn(cout) * 0.01, jnp.float32),
+            "stride": 2, "padding": 1, "blocks": _make_blocks(rs, cout),
+        })
+        cin = cout
+    final_w = jnp.asarray(rs.randn(7, cin, 1) * 0.05, jnp.float32)
+    final_b = jnp.asarray(rs.randn(1) * 0.01, jnp.float32)
+    x = jnp.asarray(rs.randn(1, t0, c0) * 0.1, jnp.float32)
+    ref = hifigan_tail_xla(x, stages, final_w, final_b, pre_blocks=pre)
+    got = fused_hifigan_tail(x, stages, final_w, final_b, pre_blocks=pre,
+                             t_tile=64, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
 def test_hifigan_generator_tail_flag_equivalence():
     """use_pallas_tail=True: identical param tree, same waveform."""
     common = dict(
