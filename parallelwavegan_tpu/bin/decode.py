@@ -46,6 +46,11 @@ def main():
         help="fused whole-cycle Pallas inference kernel (PWG only; same "
              "params, ~2.2x faster than the XLA path on TPU)",
     )
+    parser.add_argument(
+        "--use-pallas-tail", default=False, action="store_true",
+        help="fused decode-tail Pallas kernel (HiFi-GAN family; same "
+             "params, ~1.55x faster than the XLA path on TPU)",
+    )
     parser.add_argument("--batch-size", type=int, default=1,
                         help="decode N utterances per forward (length-"
                              "bucketed); >1 is a serving-throughput mode "
@@ -109,6 +114,11 @@ def main():
         config = dict(config)
         config["generator_params"] = dict(config["generator_params"])
         config["generator_params"]["use_pallas_stack"] = True
+    if args.use_pallas_tail and config.get(
+            "generator_type", "") == "HiFiGANGenerator":
+        config = dict(config)
+        config["generator_params"] = dict(config["generator_params"])
+        config["generator_params"]["use_pallas_tail"] = True
     model = load_model(args.checkpoint, config)
     logging.info("Loaded model parameters from %s.", args.checkpoint)
 
