@@ -83,6 +83,41 @@ def test_hifigan_checkpoint_decode_ab(tmp_path):
     np.testing.assert_allclose(y_mine, y_ref, atol=TOL)
 
 
+def test_hifigan_checkpoint_decode_ab_pallas_tail(tmp_path):
+    """Converted torch checkpoint through the fused-tail kernel path must
+    decode the same waveform as the reference module."""
+    from parallel_wavegan.models import HiFiGANGenerator as Ref
+
+    gparams = dict(
+        in_channels=10,
+        channels=32,
+        upsample_scales=[4, 4, 2, 2],
+        upsample_kernel_sizes=[8, 8, 4, 4],
+        resblock_kernel_sizes=[3, 5],
+        resblock_dilations=[[1, 3], [1, 3]],
+    )
+    ref = Ref(**gparams).eval()
+    ckpt = _write_experiment(tmp_path, "HiFiGANGenerator", gparams, ref, 10)
+
+    import yaml as _yaml
+
+    with open(tmp_path / "config.yml") as f:
+        config = _yaml.safe_load(f)
+    config["generator_params"]["use_pallas_tail"] = True
+    config["generator_params"]["pallas_tail_tile"] = 64
+    model = load_model(ckpt, config)
+    mel = np.random.RandomState(3).randn(32, 10).astype(np.float32)
+    y_mine = np.asarray(model.inference(mel, normalize_before=True))
+
+    ref.register_stats(str(tmp_path / "stats.h5"))
+    ref.remove_weight_norm()
+    with torch.no_grad():
+        y_ref = ref.inference(torch.from_numpy(mel),
+                              normalize_before=True).numpy()
+    assert y_mine.shape == y_ref.shape
+    np.testing.assert_allclose(y_mine, y_ref, atol=TOL)
+
+
 def test_multiband_melgan_checkpoint_decode_ab(tmp_path):
     """out_channels=4 path: PQMF attachment + synthesis must match."""
     from parallel_wavegan.layers import PQMF as RefPQMF
