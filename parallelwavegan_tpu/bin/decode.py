@@ -114,8 +114,9 @@ def main():
         config = dict(config)
         config["generator_params"] = dict(config["generator_params"])
         config["generator_params"]["use_pallas_stack"] = True
-    if args.use_pallas_tail and config.get(
-            "generator_type", "") == "HiFiGANGenerator":
+    if args.use_pallas_tail and config.get("generator_type", "") in (
+            "HiFiGANGenerator", "DiscreteSymbolHiFiGANGenerator",
+            "DiscreteSymbolDurationGenerator"):
         config = dict(config)
         config["generator_params"] = dict(config["generator_params"])
         config["generator_params"]["use_pallas_tail"] = True

@@ -85,6 +85,8 @@ class _DiscreteHiFiGANTrunk(nn.Module):
     nonlinear_activation: str
     nonlinear_activation_params: Any
     use_weight_norm: bool
+    use_pallas_tail: bool = False  # fused decode-tail kernel (see hifigan.py)
+    pallas_tail_tile: int = 1024
 
     @nn.compact
     def __call__(self, c: Array) -> Array:
@@ -95,6 +97,22 @@ class _DiscreteHiFiGANTrunk(nn.Module):
             self.nonlinear_activation_params or {"negative_slope": 0.1},
         )
         num_blocks = len(self.resblock_kernel_sizes)
+        n_up = len(self.upsample_scales)
+        tail_from = None
+        if (
+            self.use_pallas_tail
+            and self.use_additional_convs
+            and self.bias
+            and self.out_channels == 1
+            and self.nonlinear_activation == "LeakyReLU"
+            and n_up >= 2
+            and all(s == 2 for s in self.upsample_scales[-2:])
+        ):
+            c_tail = self.channels // (2 ** (n_up - 2))
+            if c_tail <= 128 and (c_tail & (c_tail - 1)) == 0:
+                tail_from = n_up - 2
+        tail_pre = tail_from - 1 if tail_from not in (None, 0) else None
+
         c = Conv1d(
             features=self.channels,
             kernel_size=self.kernel_size,
@@ -106,6 +124,24 @@ class _DiscreteHiFiGANTrunk(nn.Module):
         for i, scale in enumerate(self.upsample_scales):
             k = self.upsample_kernel_sizes[i]
             ch = self.channels // (2 ** (i + 1))
+            if tail_from is not None and i == (
+                tail_pre if tail_pre is not None else tail_from
+            ):
+                if tail_pre is None:
+                    return self._fused_tail(c, tail_from, norm, kinit,
+                                            num_blocks)
+                c = act(c)
+                c = ConvTranspose1d(
+                    features=ch,
+                    kernel_size=k,
+                    stride=scale,
+                    padding=(k - scale) // 2,
+                    output_padding=0,
+                    norm=norm,
+                    kernel_init=kinit,
+                    name=f"upsamples_{i}",
+                )(c)
+                return self._fused_tail(c, tail_from, norm, kinit, num_blocks)
             c = act(c)
             # reference uses padding=(K - scale)//2, output_padding=0 here
             c = ConvTranspose1d(
@@ -144,6 +180,80 @@ class _DiscreteHiFiGANTrunk(nn.Module):
         )(c)
         return jnp.tanh(c)
 
+    def _fused_tail(self, c, tail_from: int, norm, kinit, num_blocks: int):
+        """Fused last-two-stages + output conv (mirrors
+        HiFiGANGenerator._fused_tail; trunk deconv padding (K-scale)//2).
+        The preceding stage's MRF folds in at the entry rate when the
+        kernel is entered post-deconv (tail_pre path)."""
+        from parallelwavegan_tpu.ops.pallas_kernels.hifigan_tail import (
+            fused_hifigan_tail,
+        )
+
+        n_up = len(self.upsample_scales)
+        slope = (
+            self.nonlinear_activation_params or {"negative_slope": 0.1}
+        ).get("negative_slope", 0.1)
+
+        def collect_blocks(j, chj, dummy):
+            return [
+                HiFiGANResidualBlock(
+                    kernel_size=self.resblock_kernel_sizes[jj],
+                    channels=chj,
+                    dilations=self.resblock_dilations[jj],
+                    use_bias=self.bias,
+                    use_additional_convs=self.use_additional_convs,
+                    nonlinear_activation=self.nonlinear_activation,
+                    nonlinear_activation_params=self.nonlinear_activation_params
+                    or {"negative_slope": 0.1},
+                    norm=norm,
+                    name=f"blocks_{j * num_blocks + jj}",
+                )(dummy, collect_weights=True)
+                for jj in range(num_blocks)
+            ]
+
+        pre_blocks = None
+        if tail_from >= 1:
+            j = tail_from - 1
+            chp = self.channels // (2 ** (j + 1))
+            pre_blocks = collect_blocks(
+                j, chp, jnp.zeros(c.shape[:2] + (chp,), c.dtype)
+            )
+        stages = []
+        dummy_in = c
+        for j in range(tail_from, n_up):
+            scale = self.upsample_scales[j]
+            k = self.upsample_kernel_sizes[j]
+            chj = self.channels // (2 ** (j + 1))
+            dw, db = ConvTranspose1d(
+                features=chj,
+                kernel_size=k,
+                stride=scale,
+                padding=(k - scale) // 2,
+                output_padding=0,
+                norm=norm,
+                kernel_init=kinit,
+                name=f"upsamples_{j}",
+            )(dummy_in, return_params=True)
+            dummy = jnp.zeros(c.shape[:2] + (chj,), c.dtype)
+            stages.append({
+                "deconv_w": dw, "deconv_b": db, "stride": scale,
+                "padding": (k - scale) // 2,
+                "blocks": collect_blocks(j, chj, dummy),
+            })
+            dummy_in = dummy
+        fw, fb = Conv1d(
+            features=self.out_channels,
+            kernel_size=self.kernel_size,
+            padding="same",
+            norm=norm,
+            kernel_init=kinit,
+            name="output_conv",
+        )(dummy_in, return_params=True)
+        return fused_hifigan_tail(
+            c, stages, fw, fb, slope=slope, t_tile=self.pallas_tail_tile,
+            pre_blocks=pre_blocks,
+        )
+
 
 class DiscreteSymbolHiFiGANGenerator(nn.Module):
     """Discrete tokens (B, T, 1|2) -> wave (B, T * prod(scales), out)."""
@@ -165,6 +275,8 @@ class DiscreteSymbolHiFiGANGenerator(nn.Module):
     nonlinear_activation: str = "LeakyReLU"
     nonlinear_activation_params: Any = None
     use_weight_norm: bool = True
+    use_pallas_tail: bool = False  # fused decode-tail kernel
+    pallas_tail_tile: int = 1024
 
     @property
     def _vocab_size(self) -> int:
@@ -191,6 +303,8 @@ class DiscreteSymbolHiFiGANGenerator(nn.Module):
             nonlinear_activation=self.nonlinear_activation,
             nonlinear_activation_params=self.nonlinear_activation_params,
             use_weight_norm=self.use_weight_norm,
+            use_pallas_tail=self.use_pallas_tail,
+            pallas_tail_tile=self.pallas_tail_tile,
         )
 
     def __call__(self, c: Array) -> Array:

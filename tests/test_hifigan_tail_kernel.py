@@ -101,6 +101,29 @@ def test_hifigan_generator_tail_flag_equivalence():
     np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=5e-6)
 
 
+def test_discrete_trunk_tail_flag_equivalence():
+    """DiscreteSymbolHiFiGANGenerator with use_pallas_tail: identical
+    param tree, same waveform ((K-scale)//2 deconv padding path)."""
+    common = dict(
+        in_channels=24, out_channels=1, channels=32, kernel_size=7,
+        num_embs=10, num_spk_embs=0,
+        upsample_scales=(4, 4, 2, 2), upsample_kernel_sizes=(8, 8, 4, 4),
+        resblock_kernel_sizes=(3, 7), resblock_dilations=((1, 3), (1, 3)),
+    )
+    cls = get_model_class("DiscreteSymbolHiFiGANGenerator")
+    G0 = cls(**common)
+    G1 = cls(**common, use_pallas_tail=True, pallas_tail_tile=64)
+    tokens = np.random.RandomState(0).randint(0, 10, size=(2, 19, 1))
+    c = jnp.asarray(tokens, jnp.int32)
+    p0 = G0.init(jax.random.key(0), c)
+    p1 = G1.init(jax.random.key(0), c)
+    assert (jax.tree_util.tree_structure(p0)
+            == jax.tree_util.tree_structure(p1))
+    y0 = G0.apply(p0, c)
+    y1 = G1.apply(p0, c)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=5e-6)
+
+
 def test_tail_flag_falls_back_when_unsupported():
     """Non-power-of-2 tail channels or odd strides keep the XLA path."""
     common = dict(
