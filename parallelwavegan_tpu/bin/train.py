@@ -196,8 +196,21 @@ def main():
     config.update(vars(args))
     config["version"] = parallelwavegan_tpu.__version__
 
-    if config.get("distributed", False) and jax.process_count() == 1:
-        jax.distributed.initialize()
+    if config.get("distributed", False):
+        # must run before ANYTHING initializes the XLA backend (including
+        # jax.process_count()). On TPU pods all three are None and JAX
+        # auto-detects; under the launch shim (--backend cpu) they come
+        # from the JAX_* env vars it sets per child.
+        np_, pid = os.environ.get("JAX_NUM_PROCESSES"), os.environ.get(
+            "JAX_PROCESS_ID")
+        try:
+            jax.distributed.initialize(
+                coordinator_address=os.environ.get("JAX_COORDINATOR_ADDRESS"),
+                num_processes=int(np_) if np_ is not None else None,
+                process_id=int(pid) if pid is not None else None,
+            )
+        except RuntimeError as e:  # backend already up (single-proc tests)
+            logging.warning("jax.distributed.initialize skipped: %s", e)
 
     os.makedirs(args.outdir, exist_ok=True)
     with open(os.path.join(args.outdir, "config.yml"), "w") as f:
@@ -239,8 +252,13 @@ def main():
     )
     dev_loader = None
     if dev_dataset is not None:
+        # dev is host-sharded too (reference shards dev with
+        # DistributedSampler, train.py:1326-1341): eval runs on all
+        # processes with global collectives
         dev_loader = DataLoader(
             dev_dataset, collater, batch_size=per_host_batch, shuffle=False,
+            shard_index=jax.process_index(),
+            num_shards=jax.process_count(),
             num_workers=config.get("num_workers", 1),
         )
 

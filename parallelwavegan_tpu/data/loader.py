@@ -98,6 +98,13 @@ class DataLoader:
             return n // self.batch_size
         return -(-n // self.batch_size)
 
+    @property
+    def min_batches_across_shards(self) -> int:
+        """Per-epoch batch count guaranteed on EVERY shard (shard sizes
+        differ by at most one item). Multi-host eval iterates exactly this
+        many batches per process so global collectives stay in lockstep."""
+        return (len(self.dataset) // self.num_shards) // self.batch_size
+
     def _batch_index_stream(self):
         """Yield (seq, per-batch index array) pairs forever."""
         epoch = self.epoch

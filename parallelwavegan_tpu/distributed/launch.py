@@ -49,6 +49,10 @@ def main():
     for local_rank in range(args.nproc_per_node):
         rank = args.node_rank * args.nproc_per_node + local_rank
         env = dict(os.environ)
+        # TPU plugins that register via sitecustomize can override
+        # JAX_PLATFORMS; drop their trigger so --backend cpu really
+        # forces CPU in the children
+        env.pop("PALLAS_AXON_POOL_IPS", None)
         env.update(
             JAX_PLATFORMS="cpu",
             JAX_COORDINATOR_ADDRESS=f"{args.master_addr}:{args.master_port}",

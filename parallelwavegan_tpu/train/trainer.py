@@ -14,6 +14,7 @@ full.
 
 from __future__ import annotations
 
+import itertools
 import logging
 import os
 import time
@@ -111,7 +112,11 @@ class Trainer:
                 self._train_step(batch)
                 if self.is_rank0:
                     self._check_log_interval()
-                    self._check_eval_interval()
+                # eval computes over the global mesh -> EVERY process must
+                # enter (side effects inside are rank-0-gated); running it
+                # on rank 0 alone desyncs the collectives
+                self._check_eval_interval()
+                if self.is_rank0:
                     self._check_save_interval()
                 if self.finish_train:
                     break
@@ -166,7 +171,8 @@ class Trainer:
         batch = shard_batch(batch, self.mesh)
         self._rng, rng = jax.random.split(self._rng)
         self.state, metrics = step_fn(self.state, batch, rng)
-        self._pending_metrics.append(metrics)
+        if self.is_rank0:  # other ranks never drain; don't accumulate
+            self._pending_metrics.append(metrics)
         self.steps += 1
         if self.steps >= self.config["train_max_steps"]:
             self.finish_train = True
@@ -211,12 +217,20 @@ class Trainer:
             return
         if self.dev_loader is None:
             return
-        logging.info("(Steps: %d) Start evaluation.", self.steps)
+        # every process iterates the SAME number of batches so the global
+        # collectives inside eval_step stay in lockstep
+        limit = self.dev_loader.min_batches_across_shards
+        if limit == 0:
+            return
+        if self.is_rank0:
+            logging.info("(Steps: %d) Start evaluation.", self.steps)
         totals = defaultdict(float)
         n_batches = 0
         first_batch = None
         self._rng, rng = jax.random.split(self._rng)
-        for batch in self.dev_loader.epoch_batches(0):
+        for batch in itertools.islice(
+            self.dev_loader.epoch_batches(0), limit
+        ):
             if first_batch is None:
                 first_batch = batch
             m = self._eval_step(
@@ -226,6 +240,8 @@ class Trainer:
             for k, v in m.items():
                 totals[f"eval/{k}"] += float(v)
             n_batches += 1
+        if not self.is_rank0:
+            return
         for key in sorted(totals):
             value = totals[key] / max(n_batches, 1)
             logging.info("(Steps: %d) %s = %.4f.", self.steps, key, value)
@@ -251,8 +267,13 @@ class Trainer:
             k: v[:n] for k, v in batch.items()
         }
         self._rng, rng = jax.random.split(self._rng)
+        params_g, vars_g = self.state.params_g, self.state.vars_g
+        if jax.process_count() > 1:
+            # the dump forward runs on THIS host only: detach the params
+            # from their global-mesh sharding so the jit stays local
+            params_g, vars_g = jax.device_get((params_g, vars_g))
         y_ = self._gen_forward(
-            self.state.params_g, self.state.vars_g, shard_batch_to_host(small), rng,
+            params_g, vars_g, shard_batch_to_host(small), rng,
             False,
         )
         if self.config["generator_params"].get("out_channels", 1) > 1:

@@ -1,0 +1,126 @@
+"""End-to-end multi-process data-parallel training via the launch shim.
+
+Spawns 2 CPU processes through parallelwavegan_tpu.distributed.launch
+(reference: distributed/launch.py + DistributedSampler semantics) and
+runs a tiny HiFi-GAN config for 4 steps including a SHARDED eval pass —
+the regression this pins: eval computations run global collectives, so
+every process must enter them in lockstep (rank-0-only eval desyncs and
+aborts with a Gloo size mismatch).
+"""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import yaml
+
+from parallelwavegan_tpu.utils.io import write_hdf5
+
+CONFIG = {
+    "sampling_rate": 8000,
+    "hop_size": 64,
+    "num_mels": 16,
+    "generator_type": "HiFiGANGenerator",
+    "generator_params": {
+        "in_channels": 16, "out_channels": 1, "channels": 16,
+        "kernel_size": 3, "upsample_scales": [4, 4, 4],
+        "upsample_kernel_sizes": [8, 8, 8],
+        "resblock_kernel_sizes": [3], "resblock_dilations": [[1, 3]],
+    },
+    "discriminator_type": "HiFiGANMultiScaleMultiPeriodDiscriminator",
+    "discriminator_params": {
+        "scales": 1, "periods": [2],
+        "scale_discriminator_params": {
+            "in_channels": 1, "out_channels": 1,
+            "kernel_sizes": [5, 5, 5, 3],
+            "channels": 4, "max_downsample_channels": 8,
+            "max_groups": 2, "downsample_scales": [2, 2],
+        },
+        "period_discriminator_params": {
+            "in_channels": 1, "out_channels": 1, "kernel_sizes": [3, 3],
+            "channels": 4, "downsample_scales": [2, 2],
+            "max_downsample_channels": 8,
+        },
+    },
+    "use_stft_loss": False,
+    "use_mel_loss": True,
+    "mel_loss_params": {
+        "fs": 8000, "fft_size": 256, "hop_size": 64, "win_length": None,
+        "window": "hann", "num_mels": 16, "fmin": 0, "fmax": 4000,
+        "log_base": None,
+    },
+    "use_feat_match_loss": True,
+    "lambda_aux": 45.0,
+    "lambda_adv": 1.0,
+    "lambda_feat_match": 2.0,
+    "generator_optimizer_type": "Adam",
+    "generator_optimizer_params": {"lr": 2.0e-4},
+    "discriminator_optimizer_type": "Adam",
+    "discriminator_optimizer_params": {"lr": 2.0e-4},
+    "generator_scheduler_type": "StepLR",
+    "generator_scheduler_params": {"step_size": 1000, "gamma": 0.5},
+    "discriminator_scheduler_type": "StepLR",
+    "discriminator_scheduler_params": {"step_size": 1000, "gamma": 0.5},
+    "generator_grad_norm": 10,
+    "discriminator_grad_norm": 1,
+    "generator_train_start_steps": 1,
+    "discriminator_train_start_steps": 0,
+    "batch_size": 4,  # global; 2 per process
+    "batch_max_steps": 1024,
+    "pin_memory": False,
+    "num_workers": 1,
+    "remove_short_samples": False,
+    "allow_cache": True,
+    "train_max_steps": 4,
+    "save_interval_steps": 1000,
+    "eval_interval_steps": 2,  # forces the sharded eval path mid-run
+    "log_interval_steps": 2,
+    "num_save_intermediate_results": 1,
+    "distributed": True,
+}
+
+
+def _write_dump(dirname, n, seed):
+    os.makedirs(dirname, exist_ok=True)
+    rs = np.random.RandomState(seed)
+    for i in range(n):
+        frames = 24 + i % 3
+        path = os.path.join(dirname, f"utt{seed}_{i}.h5")
+        write_hdf5(path, "wave", rs.randn(frames * 64).astype(np.float32))
+        write_hdf5(path, "feats", rs.randn(frames, 16).astype(np.float32))
+
+
+def test_two_process_cpu_training(tmp_path):
+    train_dir = tmp_path / "train"
+    dev_dir = tmp_path / "dev"
+    _write_dump(str(train_dir), 8, 0)
+    _write_dump(str(dev_dir), 6, 1)
+    conf = tmp_path / "conf.yaml"
+    with open(conf, "w") as f:
+        yaml.safe_dump(CONFIG, f)
+
+    import parallelwavegan_tpu.bin.train as train_mod
+
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)  # children each use one CPU device
+    cmd = [
+        sys.executable, "-m", "parallelwavegan_tpu.distributed.launch",
+        "--nproc_per_node", "2", "--backend", "cpu",
+        "--master_port", "29517",
+        train_mod.__file__,
+        "--config", str(conf),
+        "--train-dumpdir", str(train_dir),
+        "--dev-dumpdir", str(dev_dir),
+        "--outdir", str(tmp_path / "exp"),
+        "--verbose", "1",
+    ]
+    out = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                         timeout=1200)
+    log = out.stdout + out.stderr
+    assert out.returncode == 0, log[-4000:]
+    assert "Finished training (4 steps)" in log
+    assert "Start evaluation" in log  # the sharded eval actually ran
+    assert os.path.exists(tmp_path / "exp" / "checkpoint-4steps.pkl")
