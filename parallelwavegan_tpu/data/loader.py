@@ -114,7 +114,11 @@ class DataLoader:
             n = len(idx)
             end = n - (n % self.batch_size) if self.drop_last else n
             if end <= 0:
-                raise RuntimeError("dataset yields no complete batch")
+                raise RuntimeError(
+                    f"dataset yields no complete batch: shard has {n} "
+                    f"items < batch_size={self.batch_size} (reduce "
+                    "batch_size or add data)"
+                )
             for i in range(0, end, self.batch_size):
                 yield seq, idx[i : i + self.batch_size]
                 seq += 1
