@@ -65,3 +65,23 @@ def test_logmelfilterbank_shapes_and_range():
     mel = logmelfilterbank(x, 16000, fft_size=1024, hop_size=256, num_mels=80)
     assert mel.shape == (8000 // 256 + 1, 80)
     assert np.isfinite(mel).all()
+
+
+def test_conv_dft_matches_fft_forward_and_grad():
+    """The TPU conv-DFT STFT path == batched rFFT path (value + grad)."""
+    import jax
+
+    from parallelwavegan_tpu.ops.stft import stft_magnitude
+
+    x = jnp.asarray(np.random.RandomState(5).randn(2, 4000), jnp.float32)
+    for n, hop, win in [(512, 128, 400), (1024, 256, 1024)]:
+        a = stft_magnitude(x, n, hop, win, method="fft")
+        b = stft_magnitude(x, n, hop, win, method="conv_dft")
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-5)
+        ga = jax.grad(lambda xx: jnp.sum(
+            stft_magnitude(xx, n, hop, win, method="fft")))(x)
+        gb = jax.grad(lambda xx: jnp.sum(
+            stft_magnitude(xx, n, hop, win, method="conv_dft")))(x)
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                                   atol=1e-3, rtol=1e-4)
