@@ -19,3 +19,32 @@ Design stance (TPU-first, not a port):
 """
 
 __version__ = "0.1.0"
+
+
+def _enable_persistent_compilation_cache() -> None:
+    """Point JAX at an on-disk compilation cache (best effort).
+
+    Compiles on the tunneled TPU take minutes and the remote compile
+    service can wedge mid-session; a persistent cache makes every repeat
+    program load from local disk instead. Opt out or relocate with
+    JAX_COMPILATION_CACHE_DIR (honored by JAX itself when set).
+    """
+    import os
+
+    if "JAX_COMPILATION_CACHE_DIR" in os.environ:
+        return
+    try:
+        import jax
+
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.expanduser("~/.cache/jax_compilation"),
+        )
+        # cache every program, not just slow-to-compile ones
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # pragma: no cover - cache is an optimization only
+        pass
+
+
+_enable_persistent_compilation_cache()
