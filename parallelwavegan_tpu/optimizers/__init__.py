@@ -25,7 +25,12 @@ def build_lr_schedule(
         return lambda step: base_lr
     if scheduler_type == "StepLR":
         if "step_size" not in params:
-            return lambda step: base_lr
+            # torch.optim.lr_scheduler.StepLR requires step_size positionally;
+            # silently training at constant LR on a config typo is worse.
+            raise ValueError(
+                "StepLR scheduler requires 'step_size' in scheduler_params "
+                f"(got {params!r})"
+            )
         step_size = params["step_size"]
         gamma = params.get("gamma", 0.1)
 
@@ -77,10 +82,9 @@ def build_optimizer(
     if optimizer_type in ("Adam", "AdamW"):
         if amsgrad:
             opt = optax.amsgrad(schedule, b1=betas[0], b2=betas[1], eps=eps)
-        elif optimizer_type == "AdamW" or weight_decay > 0:
-            # torch Adam's weight_decay is L2-in-gradient; adamw's decoupled
-            # decay differs but both reference configs use 0.0, so the
-            # simpler decoupled form serves both names here.
+        elif optimizer_type == "AdamW":
+            # torch AdamW = decoupled weight decay (default 0.01 in torch,
+            # but we only apply what the config asked for).
             opt = optax.adamw(
                 schedule,
                 b1=betas[0],
@@ -103,6 +107,11 @@ def build_optimizer(
     if grad_norm and grad_norm > 0:
         chain.append(optax.clip_by_global_norm(grad_norm))
     if weight_decay and weight_decay > 0 and optimizer_type in ("Adam", "RAdam", "SGD"):
+        # torch's Adam/RAdam/SGD weight_decay is L2-in-gradient: grad is
+        # replaced by grad + wd*param BEFORE the moment updates — exactly
+        # add_decayed_weights placed ahead of the optimizer in the chain
+        # (decay happens after grad clipping, matching torch's order of
+        # clip_grad_norm_ then optimizer.step()).
         chain.append(optax.add_decayed_weights(weight_decay))
     chain.append(opt)
     return optax.chain(*chain) if len(chain) > 1 else opt
@@ -110,11 +119,21 @@ def build_optimizer(
 
 def build_optimizer_from_config(config: dict, prefix: str):
     """Build the '{prefix}' (generator/discriminator) optimizer from a YAML
-    config (reference defaults: RAdam + StepLR, train.py:1454-1483)."""
+    config (reference defaults: RAdam + StepLR, train.py:1454-1483).
+
+    The reference requires ``{prefix}_scheduler_params`` (train.py:1485-1492
+    indexes the config directly); when a config carries NO scheduler keys at
+    all we use a constant LR rather than the torch TypeError, but an explicit
+    StepLR without step_size raises (see build_lr_schedule).
+    """
+    sched_type = config.get(f"{prefix}_scheduler_type", "StepLR")
+    sched_params = config.get(f"{prefix}_scheduler_params")
+    if sched_params is None and f"{prefix}_scheduler_type" not in config:
+        sched_type = None
     return build_optimizer(
         config.get(f"{prefix}_optimizer_type", "RAdam"),
         config.get(f"{prefix}_optimizer_params", {}),
-        config.get(f"{prefix}_scheduler_type", "StepLR"),
-        config.get(f"{prefix}_scheduler_params", {}),
+        sched_type,
+        sched_params or {},
         config.get(f"{prefix}_grad_norm", -1),
     )

@@ -227,12 +227,15 @@ class Trainer:
         totals = defaultdict(float)
         n_batches = 0
         first_batch = None
-        self._rng, rng = jax.random.split(self._rng)
         for batch in itertools.islice(
             self.dev_loader.epoch_batches(0), limit
         ):
             if first_batch is None:
                 first_batch = batch
+            # fresh key per dev batch: noise-input generators (PWG z,
+            # StyleMelGAN) and the random-window D must not see identical
+            # randomness every batch or eval-loss variance is understated
+            self._rng, rng = jax.random.split(self._rng)
             m = self._eval_step(
                 self.state, shard_batch(batch, self.mesh), rng
             )

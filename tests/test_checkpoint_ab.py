@@ -8,6 +8,7 @@ the end-to-end pretrained-checkpoint decode contract (BASELINE.md;
 reference flow: bin/decode.py:124-149 + utils/utils.py:294-360).
 """
 
+import os
 import sys
 
 import numpy as np
@@ -21,6 +22,12 @@ import scipy.signal.windows as _w  # noqa: E402
 
 if not hasattr(scipy.signal, "kaiser"):
     scipy.signal.kaiser = _w.kaiser
+
+if not os.path.isdir("/root/reference/parallel_wavegan"):
+    pytest.skip(
+        "reference implementation not available at /root/reference",
+        allow_module_level=True,
+    )
 sys.path.insert(0, "/root/reference")
 
 from parallelwavegan_tpu.utils.io import write_hdf5  # noqa: E402

@@ -20,6 +20,14 @@ import scipy.signal.windows as _w  # noqa: E402
 
 if not hasattr(scipy.signal, "kaiser"):
     scipy.signal.kaiser = _w.kaiser
+
+import os  # noqa: E402
+
+if not os.path.isdir("/root/reference/parallel_wavegan"):
+    pytest.skip(
+        "reference implementation not available at /root/reference",
+        allow_module_level=True,
+    )
 sys.path.insert(0, "/root/reference")
 
 import jax  # noqa: E402
