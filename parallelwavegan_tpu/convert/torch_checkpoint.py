@@ -67,6 +67,15 @@ def make_generator_translator(gen_type: str, params: dict) -> Callable:
         return _make_t_pwg_g(params)
     if gen_type == "StyleMelGANGenerator":
         return _t_style_melgan_g
+    if gen_type == "UHiFiGANGenerator":
+        return _t_uhifigan_g
+    if gen_type == "VQVAE":
+        return _make_t_vqvae(params)
+    if gen_type in ("DiscreteSymbolHiFiGANGenerator",
+                    "DiscreteSymbolDurationGenerator"):
+        return _t_discrete_hifigan_g
+    if gen_type == "DiscreteSymbolStyleMelGANGenerator":
+        return _t_discrete_style_melgan_g
     raise ValueError(f"no torch translator for generator {gen_type!r}")
 
 
@@ -277,6 +286,105 @@ def _t_style_melgan_g(path):
     return ".".join(out)
 
 
+def _t_uhifigan_g(path):
+    """U-Net HiFiGAN (reference uhifigan.py:19-260).
+
+    torch layout: input_conv/downsamples/upsamples are Sequentials with
+    the conv at index 0/0/1; hidden_conv is a bare conv; output_conv has
+    the conv at index 1; MRF ModuleLists are flat ``{down,up}samples_mrf``.
+    """
+    out = []
+    for p in path:
+        if p == "input_conv":
+            out.append("input_conv.0")
+        elif p.startswith("downsamples_mrf_"):
+            out.append(f"downsamples_mrf.{_idx(p)}")
+        elif p.startswith("upsamples_mrf_"):
+            out.append(f"upsamples_mrf.{_idx(p)}")
+        elif p.startswith("downsamples_"):
+            out.append(f"downsamples.{_idx(p)}.0")
+        elif p.startswith("upsamples_"):
+            out.append(f"upsamples.{_idx(p)}.1")
+        elif p == "hidden_conv":
+            out.append("hidden_conv")
+        elif p == "output_conv":
+            out.append("output_conv.1")
+        elif p.startswith("convs1_"):
+            out.append(f"convs1.{_idx(p)}.1")
+        elif p.startswith("convs2_"):
+            out.append(f"convs2.{_idx(p)}.1")
+        elif p in ("conv", "deconv"):
+            out.append(p)
+        else:
+            raise KeyError(f"uhifigan path segment {p!r}")
+    return ".".join(out)
+
+
+def _make_t_vqvae(params: dict):
+    """VQVAE (reference vqvae.py:16-147): MelGAN-D encoder + codebook +
+    MelGAN-G decoder (+ local 1x1 conv / global embedding)."""
+    enc_conf = dict(params.get("encoder_conf")
+                    or {"downsample_scales": [4, 4, 2, 2]})
+    dec_conf = dict(params.get("decoder_conf")
+                    or {"upsample_scales": [4, 4, 2, 2], "stacks": 3})
+    enc_inner = _make_t_melgan_d(enc_conf)
+    dec_inner = _make_t_melgan_g(dec_conf, prefix="melgan")
+
+    def translate(path):
+        if path[0] == "encoder":
+            return "encoder." + enc_inner(path[1:])
+        if path[0] == "decoder":
+            return "decoder." + dec_inner(path[1:])
+        if path[0] == "codebook":
+            return "codebook.embedding"
+        if path[0] in ("local_embed", "global_embed"):
+            return path[0]
+        raise KeyError(f"vqvae path segment {path[0]!r}")
+
+    def is_transpose(mods):
+        if mods and mods[0] == "decoder":
+            return dec_inner.is_transpose(mods[1:])
+        return False
+
+    translate.is_transpose = is_transpose
+    return translate
+
+
+def _t_duration_predictor(path):
+    """FastSpeech DurationPredictor (reference layers/duration_predictor.py:
+    17-90): conv.{i} Sequential = [Conv1d, ReLU, LayerNorm, Dropout]."""
+    if not path:  # linear_kernel / linear_bias leaves live at module root
+        return "linear"
+    (p,) = path
+    if p.startswith("conv_"):
+        return f"conv.{_idx(p)}.0"
+    if p.startswith("norm_"):
+        return f"conv.{_idx(p)}.2"
+    raise KeyError(f"duration-predictor path segment {p!r}")
+
+
+def _t_discrete_hifigan_g(path):
+    """DiscreteSymbol{HiFiGAN,Duration}Generator (reference hifigan.py:867,
+    :1094): emb/spk_emb embeddings + the HiFiGAN trunk at the root (+ the
+    duration predictor for the duration variant)."""
+    if path[0] == "embedding":
+        assert path[1] in ("emb", "spk_emb"), path
+        return path[1]
+    if path[0] == "duration_predictor":
+        return "duration_predictor." + _t_duration_predictor(path[1:])
+    if path[0] == "trunk":
+        return _t_hifigan_g(path[1:])
+    raise KeyError(f"discrete-hifigan path segment {path[0]!r}")
+
+
+def _t_discrete_style_melgan_g(path):
+    """DiscreteSymbolStyleMelGANGenerator (reference style_melgan.py:364):
+    emb/spk_emb + the StyleMelGAN trunk at the root."""
+    if path[0] in ("emb", "spk_emb"):
+        return path[0]
+    return _t_style_melgan_g(path)
+
+
 def _make_t_pwg_d(params: dict):
     layers = params.get("layers", 10)
 
@@ -452,7 +560,8 @@ def _convert_tree(sd: dict, template, translate: Callable) -> dict:
                     out[mods + (leaf,)] = _permute(w, _DECONV_PERM, shape)[::-1].copy()
                 else:
                     out[mods + (leaf,)] = _permute(w, _CONV_PERM, shape)
-            elif leaf == "embedding":
+            elif leaf in ("embedding", "scale"):
+                # nn.Embed table / LayerNorm scale — torch calls both "weight"
                 out[mods + (leaf,)] = _reshape(sd[f"{prefix}.weight"], shape)
             elif leaf in ("linear_kernel",):
                 out[mods + (leaf,)] = _permute(
@@ -497,6 +606,48 @@ def _eval_shape_init(model_type: str, model_params: dict, rngs=None):
     if model_type in ("MelGANGenerator", "HiFiGANGenerator"):
         c = jnp.zeros((b, 8, model_params.get("in_channels", 80)))
         return module, jax.eval_shape(module.init, key, c)
+    if model_type == "UHiFiGANGenerator":
+        factor = 1
+        for s in model_params.get("downsample_scales", (8, 8, 2, 2)):
+            factor *= s
+        t = 8
+        e = jnp.zeros((b, t * factor, model_params.get("out_channels", 1)))
+        c = jnp.zeros((b, t, model_params.get("in_channels", 80)))
+        return module, jax.eval_shape(module.init, key, e, c)
+    if model_type == "VQVAE":
+        factor = 1
+        enc_conf = model_params.get("encoder_conf") or {}
+        for s in enc_conf.get("downsample_scales", [4, 4, 2, 2]):
+            factor *= s
+        t = 8
+        x = jnp.zeros((b, t * factor, model_params.get("in_channels", 1)))
+        args = [x]
+        if model_params.get("num_local_embeds") is not None:
+            args.append(jnp.zeros((b, t, model_params["num_local_embeds"])))
+        else:
+            args.append(None)
+        if model_params.get("num_global_embeds") is not None:
+            args.append(jnp.zeros((b,), jnp.int32))
+        return module, jax.eval_shape(module.init, key, *args)
+    if model_type in ("DiscreteSymbolHiFiGANGenerator",
+                      "DiscreteSymbolDurationGenerator"):
+        nc = 2 if model_params.get("num_spk_embs", 128) > 0 else 1
+        c = jnp.zeros((b, 8, nc), jnp.int32)
+        if model_type == "DiscreteSymbolDurationGenerator":
+            ds = jnp.ones((b, 8), jnp.int32)
+            # out_length is static — close over it so eval_shape doesn't
+            # abstract it into a tracer
+            return module, jax.eval_shape(
+                lambda k, c_, d_: module.init(k, c_, d_, 16), key, c, ds
+            )
+        return module, jax.eval_shape(module.init, key, c)
+    if model_type == "DiscreteSymbolStyleMelGANGenerator":
+        nuf = 1
+        for s in model_params.get("noise_upsample_scales", [11, 2, 2, 2]):
+            nuf *= s
+        c = jnp.zeros((b, nuf, 2), jnp.int32)
+        z = jnp.zeros((b, 1, model_params.get("in_channels", 128)))
+        return module, jax.eval_shape(module.init, {"params": key}, c, z)
     if model_type == "StyleMelGANDiscriminator":
         ws = max(model_params.get("window_sizes", [512, 1024, 2048, 4096]))
         x = jnp.zeros((b, ws + 64, 1))

@@ -231,3 +231,189 @@ def test_melgan_msd_parity():
             o_ref[-1].detach().numpy().transpose(0, 2, 1), np.asarray(o[-1])
         )
         assert err < TOL
+
+
+def test_uhifigan_generator_parity():
+    from parallel_wavegan.models import UHiFiGANGenerator as Ref
+
+    kwargs = dict(
+        in_channels=10,
+        channels=16,
+        downsample_scales=[4, 2],
+        downsample_kernel_sizes=[8, 4],
+        upsample_scales=[2, 4],
+        upsample_kernel_sizes=[4, 8],
+        resblock_kernel_sizes=[3, 5],
+        resblock_dilations=[[1, 3], [1, 3]],
+    )
+    ref = Ref(**kwargs).eval()
+    rs = np.random.RandomState(7)
+    t_frames = 8
+    e = rs.randn(2, 1, t_frames * 8).astype(np.float32)
+    c = rs.randn(2, 10, t_frames).astype(np.float32)
+    with torch.no_grad():
+        y_ref = ref(c=torch.from_numpy(c), excitation=torch.from_numpy(e)).numpy()
+    params, _ = convert_state_dict("UHiFiGANGenerator", kwargs, _np_sd(ref))
+    ours = get_model_class("UHiFiGANGenerator")(**kwargs)
+    y = ours.apply(
+        {"params": params},
+        jnp.asarray(e.transpose(0, 2, 1)),
+        jnp.asarray(c.transpose(0, 2, 1)),
+    )
+    assert _max_err(y_ref.transpose(0, 2, 1), y) < TOL
+
+
+@pytest.mark.parametrize("conditioned", [False, True])
+def test_vqvae_parity(conditioned):
+    from parallel_wavegan.models import VQVAE as Ref
+
+    kwargs = dict(
+        num_embeds=32,
+        embed_dim=16,
+        encoder_conf={
+            "out_channels": 16,
+            "downsample_scales": [4, 2],
+            "max_downsample_channels": 32,
+            "channels": 8,
+        },
+        decoder_conf={
+            "in_channels": 16,
+            "upsample_scales": [4, 2],
+            "channels": 16,
+            "stacks": 2,
+        },
+    )
+    if conditioned:
+        kwargs.update(
+            num_local_embeds=3,
+            local_embed_dim=4,
+            num_global_embeds=5,
+            global_embed_dim=6,
+        )
+        kwargs["decoder_conf"]["in_channels"] = 16 + 4 + 6
+    ref = Ref(**{k: (dict(v) if isinstance(v, dict) else v)
+                 for k, v in kwargs.items()}).eval()
+    rs = np.random.RandomState(8)
+    x = rs.randn(2, 1, 128).astype(np.float32)
+    args_t, args_j = [], []
+    if conditioned:
+        l = rs.randn(2, 3, 16).astype(np.float32)
+        g = np.array([1, 3])
+        args_t = [torch.from_numpy(l), torch.from_numpy(g)]
+        args_j = [jnp.asarray(l.transpose(0, 2, 1)), jnp.asarray(g)]
+    with torch.no_grad():
+        y_ref, ze_ref, zq_ref = ref(torch.from_numpy(x), *args_t)
+    params, _ = convert_state_dict("VQVAE", kwargs, _np_sd(ref))
+    ours = get_model_class("VQVAE")(**kwargs)
+    y, ze, zq = ours.apply(
+        {"params": params}, jnp.asarray(x.transpose(0, 2, 1)), *args_j
+    )
+    assert _max_err(ze_ref.detach().numpy().transpose(0, 2, 1), ze) < TOL
+    assert _max_err(zq_ref.detach().numpy().transpose(0, 2, 1), zq) < TOL
+    assert _max_err(y_ref.detach().numpy().transpose(0, 2, 1), y) < TOL
+
+
+def test_discrete_hifigan_parity():
+    # NOTE: only concat_spk_emb=False is parity-testable — the reference's
+    # concat path (hifigan.py:1015-1017) concatenates the speaker embedding
+    # along the TIME axis of the already-transposed (B, C, T) tensor and
+    # crashes in input_conv; every shipped config uses add mode.
+    from parallel_wavegan.models import DiscreteSymbolHiFiGANGenerator as Ref
+
+    kwargs = dict(
+        in_channels=12,
+        channels=16,
+        num_embs=20,
+        num_spk_embs=4,
+        spk_emb_dim=12,
+        concat_spk_emb=False,
+        upsample_scales=[4, 4],
+        upsample_kernel_sizes=[8, 8],
+        resblock_kernel_sizes=[3, 5],
+        resblock_dilations=[[1, 3], [1, 3]],
+    )
+    ref = Ref(**kwargs).eval()
+    rs = np.random.RandomState(9)
+    tokens = rs.randint(0, 20, size=(2, 1, 16))
+    spk = np.repeat(rs.randint(0, 4, size=(2, 1, 1)), 16, axis=2)
+    c = np.concatenate([tokens, spk], axis=1)  # (B, 2, T)
+    with torch.no_grad():
+        y_ref = ref(torch.from_numpy(c)).numpy()
+    params, _ = convert_state_dict(
+        "DiscreteSymbolHiFiGANGenerator", kwargs, _np_sd(ref)
+    )
+    ours = get_model_class("DiscreteSymbolHiFiGANGenerator")(**kwargs)
+    y = ours.apply({"params": params}, jnp.asarray(c.transpose(0, 2, 1)))
+    assert _max_err(y_ref.transpose(0, 2, 1), y) < TOL
+
+
+def test_discrete_duration_generator_parity():
+    from parallel_wavegan.models import DiscreteSymbolDurationGenerator as Ref
+
+    # num_spk_embs=0 matches the shipped cvss_c configs; the reference's
+    # speaker path sizes the duration predictor at in_channels+spk_emb_dim
+    # (hifigan.py:1172-1180) while feeding it an in_channels-wide embedding
+    # in add mode — it crashes, so speakers+durations are untestable.
+    kwargs = dict(
+        in_channels=12,
+        channels=16,
+        num_embs=20,
+        num_spk_embs=0,
+        duration_layers=2,
+        duration_chans=16,
+        upsample_scales=[4, 4],
+        upsample_kernel_sizes=[8, 8],
+        resblock_kernel_sizes=[3, 5],
+        resblock_dilations=[[1, 3], [1, 3]],
+    )
+    ref = Ref(**kwargs).eval()
+    rs = np.random.RandomState(10)
+    c = rs.randint(0, 20, size=(1, 1, 8))  # (B, 1, T)
+    ds = np.array([[1, 2, 1, 3, 1, 2, 1, 1]], dtype=np.int64)
+    with torch.no_grad():
+        y_ref, d_ref = ref(torch.from_numpy(c), torch.from_numpy(ds))
+    params, _ = convert_state_dict(
+        "DiscreteSymbolDurationGenerator", kwargs, _np_sd(ref)
+    )
+    ours = get_model_class("DiscreteSymbolDurationGenerator")(**kwargs)
+    y, d = ours.apply(
+        {"params": params},
+        jnp.asarray(c.transpose(0, 2, 1)),
+        jnp.asarray(ds),
+        int(ds.sum()),
+    )
+    assert _max_err(d_ref.detach().numpy(), d) < TOL
+    assert _max_err(y_ref.detach().numpy().transpose(0, 2, 1), y) < TOL
+
+
+def test_discrete_style_melgan_parity():
+    from parallel_wavegan.models import DiscreteSymbolStyleMelGANGenerator as Ref
+
+    kwargs = dict(
+        in_channels=16,
+        aux_channels=10,
+        channels=16,
+        num_embs=20,
+        num_spk_embs=4,
+        spk_emb_dim=10,
+        noise_upsample_scales=[4, 2],
+        upsample_scales=[2, 2, 1],
+    )
+    ref = Ref(**kwargs).eval()
+    rs = np.random.RandomState(11)
+    tokens = rs.randint(0, 20, size=(1, 1, 8))
+    spk = np.repeat(rs.randint(0, 4, size=(1, 1, 1)), 8, axis=2)
+    c = np.concatenate([tokens, spk], axis=1)
+    z = rs.randn(1, 16, 1).astype(np.float32)
+    with torch.no_grad():
+        y_ref = ref(torch.from_numpy(c), torch.from_numpy(z)).numpy()
+    params, _ = convert_state_dict(
+        "DiscreteSymbolStyleMelGANGenerator", kwargs, _np_sd(ref)
+    )
+    ours = get_model_class("DiscreteSymbolStyleMelGANGenerator")(**kwargs)
+    y = ours.apply(
+        {"params": params},
+        jnp.asarray(c.transpose(0, 2, 1)),
+        jnp.asarray(z.transpose(0, 2, 1)),
+    )
+    assert _max_err(y_ref.transpose(0, 2, 1), y) < TOL
