@@ -92,13 +92,71 @@ def download_pretrained_model(tag_or_url: str, download_dir: str | None = None) 
     return checkpoint_path[0]
 
 
-def _download_gdrive(file_id: str, output_path: str):
-    """Fetch a Google Drive file via the direct-download endpoint."""
+def _download_gdrive(file_id: str, output_path: str, opener=None):
+    """Fetch a Google Drive file, handling the virus-scan interstitial.
+
+    Files over ~100 MB (most released checkpoints) get an HTML warning page
+    instead of the payload; gdown resolves it via a confirm token carried in
+    either a ``download_warning`` cookie or a hidden form posting to
+    drive.usercontent.google.com (reference utils/utils.py:363-421 uses
+    gdown). This reimplements that dance with urllib. ``opener`` is
+    injectable for tests.
+    """
+    import html
+    import http.cookiejar
+    import urllib.parse
     import urllib.request
+
+    if opener is None:  # pragma: no cover - requires network
+        jar = http.cookiejar.CookieJar()
+        opener = urllib.request.build_opener(
+            urllib.request.HTTPCookieProcessor(jar)
+        )
+    else:
+        jar = getattr(opener, "cookiejar", ())
 
     url = f"https://drive.google.com/uc?export=download&id={file_id}"
     try:
-        urllib.request.urlretrieve(url, output_path)  # noqa: S310
+        for _ in range(4):
+            resp = opener.open(url)
+            ctype = resp.headers.get("Content-Type", "")
+            if "text/html" not in ctype:
+                with open(output_path, "wb") as f:
+                    while True:
+                        chunk = resp.read(1 << 20)
+                        if not chunk:
+                            break
+                        f.write(chunk)
+                return
+            body = resp.read().decode("utf-8", errors="replace")
+            token = next(
+                (c.value for c in jar if c.name.startswith("download_warning")),
+                None,
+            )
+            if token:
+                url = (
+                    "https://drive.google.com/uc?export=download"
+                    f"&id={file_id}&confirm={token}"
+                )
+                continue
+            m = re.search(r'action="([^"]+)"', body)
+            fields = dict(
+                re.findall(
+                    r'<input[^>]+name="([^"]+)"[^>]+value="([^"]*)"', body
+                )
+            )
+            if m and fields:
+                url = html.unescape(m.group(1))
+                sep = "&" if "?" in url else "?"
+                url = url + sep + urllib.parse.urlencode(fields)
+                continue
+            raise RuntimeError(
+                "Google Drive returned an interstitial without a confirm "
+                "token (quota exceeded or permission denied?)"
+            )
+        raise RuntimeError("too many Google Drive interstitial redirects")
+    except RuntimeError:
+        raise
     except Exception as e:  # pragma: no cover - requires network
         raise RuntimeError(
             f"failed to download {url}; if this environment has no "
