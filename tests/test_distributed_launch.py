@@ -117,9 +117,16 @@ def test_two_process_cpu_training(tmp_path):
         "--outdir", str(tmp_path / "exp"),
         "--verbose", "1",
     ]
-    out = subprocess.run(cmd, env=env, capture_output=True, text=True,
-                         timeout=1200)
-    log = out.stdout + out.stderr
+    for attempt in range(3):
+        out = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                             timeout=1200)
+        log = out.stdout + out.stderr
+        # the gloo KV exchange has a fixed 30 s rendezvous window; under
+        # heavy machine load (parallel compile jobs) a child can start
+        # late enough to miss it — retry, that's not a product failure
+        if out.returncode != 0 and "DEADLINE_EXCEEDED" in log and attempt < 2:
+            continue
+        break
     assert out.returncode == 0, log[-4000:]
     assert "Finished training (4 steps)" in log
     assert "Start evaluation" in log  # the sharded eval actually ran
