@@ -13,6 +13,7 @@ conf=conf/hifigan_hubert_duration.v1.yaml
 tag=""
 resume=""
 checkpoint=""
+use_fake_data=false   # synthesize wavs + units locally (zero-egress CI)
 
 . ../../utils/parse_options.sh || exit 1
 
@@ -26,8 +27,16 @@ dumpdir=dump
 
 if [ "${stage}" -le 0 ] && [ "${stop_stage}" -ge 0 ]; then
     echo "Stage 0: Data preparation"
+    if [ "${use_fake_data}" = "true" ]; then
+        hop_size=$(awk '/^hop_size:/{print $2}' "${conf}")
+        python3 local/make_fake_data.py "${db_root}" "${hop_size}"
+        num_dev_opt="--num-dev 5 --num-eval 5"
+    else
+        num_dev_opt=""
+    fi
     # expects <db_root>/wav/*.wav and <db_root>/units.txt ("utt u1 u2 ...")
-    python3 local/data_prep.py "${db_root}" data
+    # shellcheck disable=SC2086
+    python3 local/data_prep.py "${db_root}" data ${num_dev_opt}
 fi
 
 if [ "${stage}" -le 1 ] && [ "${stop_stage}" -ge 1 ]; then

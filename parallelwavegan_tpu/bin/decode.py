@@ -39,8 +39,11 @@ def main():
     parser.add_argument("--checkpoint", type=str, required=True)
     parser.add_argument("--config", default=None, type=str)
     parser.add_argument("--normalize-before", default=False, action="store_true")
-    parser.add_argument("--use-f0-and-excitation", default=False,
-                        action="store_true")
+    parser.add_argument("--use-f0-and-excitation", default=None,
+                        action="store_true",
+                        help="defaults on when the checkpoint config's "
+                             "generator is UHiFiGANGenerator (reference "
+                             "decode.py:156 auto-detection)")
     parser.add_argument(
         "--use-pallas-stack", default=False, action="store_true",
         help="fused whole-cycle Pallas inference kernel (PWG only; same "
@@ -84,6 +87,11 @@ def main():
     if config.get("generator_type") == "VQVAE":
         return _decode_vqvae(args, config)
 
+    if args.use_f0_and_excitation is None:
+        args.use_f0_and_excitation = (
+            config.get("generator_type") == "UHiFiGANGenerator"
+        )
+
     fmt = config.get("format", "hdf5")
     if args.dumpdir is not None:
         if fmt == "hdf5":
@@ -95,10 +103,19 @@ def main():
         else:
             raise ValueError("Support only hdf5 or npy format.")
         if args.use_f0_and_excitation:
-            dataset = MelF0ExcitationDataset(
-                args.dumpdir, mel_query=mel_query, mel_load_fn=mel_load_fn,
-                return_utt_id=True,
-            )
+            if fmt == "hdf5":
+                dataset = MelF0ExcitationDataset(
+                    args.dumpdir, mel_query=mel_query, mel_load_fn=mel_load_fn,
+                    return_utt_id=True,
+                )
+            else:
+                dataset = MelF0ExcitationDataset(
+                    args.dumpdir, mel_query=mel_query, mel_load_fn=mel_load_fn,
+                    f0_query="*-f0.npy", f0_load_fn=np.load,
+                    excitation_query="*-excitation.npy",
+                    excitation_load_fn=np.load,
+                    return_utt_id=True,
+                )
         else:
             dataset = MelDataset(
                 args.dumpdir, mel_query=mel_query, mel_load_fn=mel_load_fn,

@@ -2,7 +2,10 @@
 
 Behavioral reference: /root/reference/parallel_wavegan/bin/normalize.py
 (scaler restore :237-248, per-utterance transform :270, wave copied
-alongside, --target-feats feats|local, per-speaker stats via utt2spk).
+alongside, --target-feats feats|local, per-speaker stats via utt2spk,
+f0/excitation copied through for UHiFiGAN :128-162,:286-296, global
+condition copied through :303-306, binary local features left
+unnormalized :332-337).
 """
 
 from __future__ import annotations
@@ -15,7 +18,11 @@ import numpy as np
 import yaml
 from tqdm import tqdm
 
-from parallelwavegan_tpu.data.datasets import AudioMelDataset, AudioMelSCPDataset
+from parallelwavegan_tpu.data.datasets import (
+    AudioMelDataset,
+    AudioMelF0ExcitationDataset,
+    AudioMelSCPDataset,
+)
 from parallelwavegan_tpu.utils.io import read_hdf5, write_hdf5
 
 
@@ -47,6 +54,8 @@ def main():
 
     fmt = config.get("format", "hdf5")
     tf = args.target_feats
+    use_f0_and_excitation = config.get("generator_type") == "UHiFiGANGenerator"
+    use_global = config.get("use_global_condition", False)
     if args.rootdir is not None:
         if fmt == "hdf5":
             audio_query, mel_query = "*.h5", "*.h5"
@@ -58,15 +67,53 @@ def main():
             mel_load_fn = np.load
         else:
             raise ValueError("support only hdf5 or npy format.")
-        dataset = AudioMelDataset(
-            args.rootdir,
-            audio_query=audio_query,
-            audio_load_fn=audio_load_fn,
-            mel_query=mel_query,
-            mel_load_fn=mel_load_fn,
-            return_utt_id=True,
-        )
+        if use_f0_and_excitation:
+            if fmt == "hdf5":
+                dataset = AudioMelF0ExcitationDataset(
+                    args.rootdir,
+                    audio_query=audio_query,
+                    audio_load_fn=audio_load_fn,
+                    mel_query=mel_query,
+                    mel_load_fn=mel_load_fn,
+                    return_utt_id=True,
+                )
+            else:
+                dataset = AudioMelF0ExcitationDataset(
+                    args.rootdir,
+                    audio_query=audio_query,
+                    audio_load_fn=audio_load_fn,
+                    mel_query=mel_query,
+                    mel_load_fn=mel_load_fn,
+                    f0_query="*-f0.npy",
+                    f0_load_fn=np.load,
+                    excitation_query="*-excitation.npy",
+                    excitation_load_fn=np.load,
+                    return_utt_id=True,
+                )
+        else:
+            gq, gl = None, None
+            if use_global:
+                if fmt == "hdf5":
+                    gq = "*.h5"
+                    gl = lambda x: read_hdf5(x, "global")  # noqa: E731
+                else:
+                    gq, gl = "*-global.npy", np.load
+            dataset = AudioMelDataset(
+                args.rootdir,
+                audio_query=audio_query,
+                audio_load_fn=audio_load_fn,
+                mel_query=mel_query,
+                mel_load_fn=mel_load_fn,
+                global_query=gq,
+                global_load_fn=gl,
+                return_utt_id=True,
+            )
     else:
+        if use_f0_and_excitation or use_global:
+            raise NotImplementedError(
+                "SCP format is not supported for f0/excitation or "
+                "global conditioning."
+            )
         dataset = AudioMelSCPDataset(
             args.wav_scp, args.feats_scp, segments=args.segments,
             return_utt_id=True,
@@ -98,17 +145,36 @@ def main():
 
     os.makedirs(args.dumpdir, exist_ok=True)
     for i in tqdm(range(len(dataset))):
-        utt_id, audio, mel = dataset[i]
+        f0 = excitation = g = None
+        if use_f0_and_excitation:
+            utt_id, audio, mel, f0, excitation = dataset[i]
+        elif use_global:
+            utt_id, audio, mel, g = dataset[i]
+        else:
+            utt_id, audio, mel = dataset[i]
         m, s = mean, scale
         if utt2spk is not None:
             spk = utt2spk[utt_id]
             if spk not in spk_stats_cache:
                 spk_stats_cache[spk] = load_stats(spk)
             m, s = spk_stats_cache[spk]
-        mel = (mel - m) / s
+        mel_norm = (mel - m) / s
+        if tf == "local":
+            # binary channels (e.g. voiced/unvoiced flags) pass through
+            # unnormalized (reference normalize.py:332-337)
+            is_binary = (
+                np.logical_or(mel == 1, mel == 0).sum(axis=0) == len(mel)
+            )
+            mel_norm[:, is_binary] = mel[:, is_binary]
+        mel = mel_norm
         if fmt == "hdf5":
             path = os.path.join(args.dumpdir, f"{utt_id}.h5")
             write_hdf5(path, tf, mel.astype(np.float32))
+            if f0 is not None:
+                write_hdf5(path, "f0", f0.astype(np.float32))
+                write_hdf5(path, "excitation", excitation.astype(np.float32))
+            if g is not None:
+                write_hdf5(path, "global", np.asarray(g).reshape(-1))
             if not args.skip_wav_copy:
                 write_hdf5(path, "wave", np.asarray(audio, dtype=np.float32))
         else:
@@ -117,6 +183,23 @@ def main():
                 mel.astype(np.float32),
                 allow_pickle=False,
             )
+            if f0 is not None:
+                np.save(
+                    os.path.join(args.dumpdir, f"{utt_id}-f0.npy"),
+                    f0.astype(np.float32),
+                    allow_pickle=False,
+                )
+                np.save(
+                    os.path.join(args.dumpdir, f"{utt_id}-excitation.npy"),
+                    excitation.astype(np.float32),
+                    allow_pickle=False,
+                )
+            if g is not None:
+                np.save(
+                    os.path.join(args.dumpdir, f"{utt_id}-global.npy"),
+                    np.asarray(g).reshape(-1),
+                    allow_pickle=False,
+                )
             if not args.skip_wav_copy:
                 np.save(
                     os.path.join(args.dumpdir, f"{utt_id}-wave.npy"),

@@ -192,7 +192,11 @@ def main():
                 noise_std=config.get("noise_std", 0.003),
             )
             f0 = f0[: len(mel)]
-            excitation = excitation[: len(mel) * hop_size]
+            # reference layout (preprocess.py:440-442): per-frame rows so
+            # the collater can slice with frame indices
+            excitation = excitation[: len(mel) * hop_size].reshape(
+                len(mel), hop_size
+            )
 
         # apply global gain scale (preprocess.py:444-452)
         gain = config.get("global_gain_scale", 1.0)

@@ -113,12 +113,24 @@ def extract_f0_and_excitation(
     fmax: float = 340.0,
     sine_amp: float = 0.1,
     noise_std: float = 0.003,
+    log_f0: bool = True,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """F0 track (padded to ceil(T/hop)) + per-sample sine excitation."""
+    """F0 track (padded to ceil(T/hop)) + per-sample sine excitation.
+
+    ``log_f0=True`` follows the reference UHiFiGAN pipeline exactly
+    (/root/reference/parallel_wavegan/bin/preprocess.py:92-133): voiced
+    frames are replaced by log(F0) BEFORE sine synthesis, so both the
+    stored f0 track and the excitation operate in the log domain —
+    required for converted-checkpoint input compatibility.
+    """
     f0 = yin_f0(audio, fs, hop_size, fmin=fmin, fmax=fmax)
     n_frames = -(-len(audio) // hop_size)
     if len(f0) < n_frames:
         f0 = np.pad(f0, (0, n_frames - len(f0)), mode="edge")
+    f0 = f0[:n_frames]
+    if log_f0:
+        voiced = f0 > 0
+        f0 = np.where(voiced, np.log(np.maximum(f0, 1e-10)), 0.0)
     excitation = sine_excitation_np(
         f0, fs, hop_size, sine_amp=sine_amp, noise_std=noise_std
     )

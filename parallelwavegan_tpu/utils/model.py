@@ -341,13 +341,19 @@ class InferenceModel:
         for s in self.config["generator_params"].get("upsample_scales",
                                                      (8, 8, 2, 2)):
             factor *= s
+        # bucketed padded length: one compiled program per bucket, not per
+        # utterance length (the conv U-Net ignores trailing pad up to edge
+        # bleed, trimmed below)
+        pad_t = -(-t // self.bucket) * self.bucket
+        c = np.pad(np.asarray(c, np.float32),
+                   ((0, pad_t - t), (0, 0)), mode="edge")
         excitation = np.asarray(excitation, np.float32).reshape(-1, 1)
-        excitation = excitation[: t * factor]
-        if len(excitation) < t * factor:
+        excitation = excitation[: pad_t * factor]
+        if len(excitation) < pad_t * factor:
             excitation = np.pad(
-                excitation, ((0, t * factor - len(excitation)), (0, 0))
+                excitation, ((0, pad_t * factor - len(excitation)), (0, 0))
             )
-        key = ("uhifigan", t)
+        key = ("uhifigan", pad_t)
         if key not in self._jit_cache:
             gen = self.generator
             variables = {"params": self.params, **self.vars_g}
@@ -355,7 +361,7 @@ class InferenceModel:
                 lambda e, cc: gen.apply(variables, e[None], cc[None])[0]
             )
         y = self._jit_cache[key](jnp.asarray(excitation), jnp.asarray(c))
-        return np.asarray(jax.device_get(y))
+        return np.asarray(jax.device_get(y))[: t * factor]
 
     def _inference_discrete(self, c, rng):
         """Discrete tokens (T, 1|2) -> wave; duration variant predicts ds."""

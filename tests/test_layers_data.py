@@ -135,6 +135,48 @@ def test_collater_duration_branch():
     assert batch["c"].shape[0] == 2
 
 
+def test_collater_f0_excitation_sample_alignment():
+    """Excitation stored (frames, hop) — reference preprocess.py:440-442 —
+    must crop to exactly the samples under the audio crop."""
+    hop, steps = 64, 512
+    col = Collater(batch_max_steps=steps, hop_size=hop, aux_context_window=0,
+                   use_f0_and_excitation=True, rng=np.random.default_rng(0))
+    rs = np.random.RandomState(2)
+    items = []
+    for _ in range(3):
+        frames = steps // hop + rs.randint(2, 8)
+        audio = rs.randn(frames * hop).astype(np.float32)
+        mel = rs.randn(frames, 6).astype(np.float32)
+        f0 = rs.rand(frames).astype(np.float32) * 5
+        exc = np.arange(frames * hop, dtype=np.float32).reshape(frames, hop)
+        items.append((audio, mel, f0, exc))
+    batch = col(items)
+    assert batch["excitation"].shape == (3, steps, 1)
+    assert batch["f0"].shape == (3, steps // hop, 1)
+    # the flattened excitation crop must be a contiguous hop-aligned run
+    for b in range(3):
+        e = batch["excitation"][b, :, 0]
+        assert e[0] % hop == 0
+        np.testing.assert_array_equal(e, e[0] + np.arange(steps))
+
+
+def test_extract_f0_excitation_log_domain():
+    """f0 is log-Hz on voiced frames and the sine excitation is built from
+    the logged track (reference preprocess.py:92-133 pipeline order)."""
+    from parallelwavegan_tpu.ops.f0 import extract_f0_and_excitation
+
+    fs, hop = 8000, 64
+    t = np.arange(fs) / fs
+    audio = np.sin(2 * np.pi * 200.0 * t).astype(np.float32)
+    f0, exc = extract_f0_and_excitation(audio, fs, hop)
+    voiced = f0[f0 > 0]
+    assert len(voiced) > 0
+    # log(200) ~ 5.3 — not 200
+    assert np.all(voiced < 10.0), voiced.max()
+    assert abs(np.median(voiced) - np.log(200.0)) < 0.2
+    assert len(exc) == len(f0) * hop
+
+
 def test_loader_sharding_partitions_dataset():
     class DS:
         def __len__(self):
