@@ -85,6 +85,12 @@ class ParallelWaveGANGenerator(nn.Module):
     use_pallas_stack: bool = False  # fused whole-cycle inference kernel
     pallas_stack_tile: int = 8192
     pallas_stack_bf16: bool = False
+    # training-capable fused cycle (custom_vjp fwd + fused reverse kernel,
+    # ops/pallas_kernels/wavenet_stack_train.py): G fwd+bwd 84 -> 63 ms and
+    # the D-phase re-forward 36 -> 15 ms at PWG v1 batch 6 x 25600
+    use_pallas_stack_train: bool = False
+    pallas_stack_train_tile: int = 2048
+    pallas_stack_train_layers_per_call: int = 5
 
     @nn.compact
     def __call__(self, z: Array, c: Array | None, *,
@@ -132,16 +138,21 @@ class ParallelWaveGANGenerator(nn.Module):
             for layer in range(self.layers)
         ]
         if (
-            self.use_pallas_stack
+            (self.use_pallas_stack or self.use_pallas_stack_train)
             and c is not None
             and not self.use_causal_conv
             and self.dropout == 0.0
         ):
-            # whole-cycle fused inference: stack every block's effective
+            # whole-cycle fused path: stack every block's effective
             # weights (identical param tree) and run one dilation cycle per
-            # pallas call (ops/pallas_kernels/wavenet_stack.py)
+            # pallas call. The _train variant is a custom_vjp pair
+            # (fwd = same kernel, bwd = fused reverse kernel) so gradients
+            # flow to the (g, v) weight-norm params through jnp.stack.
             from parallelwavegan_tpu.ops.pallas_kernels.wavenet_stack import (
                 fused_wavenet_cycle,
+            )
+            from parallelwavegan_tpu.ops.pallas_kernels.wavenet_stack_train import (  # noqa: E501
+                fused_wavenet_cycle_train,
             )
 
             per_layer = [
@@ -157,12 +168,21 @@ class ParallelWaveGANGenerator(nn.Module):
                 dils = tuple(
                     2 ** (i % layers_per_stack) for i in range(s, e)
                 )
-                x, sk = fused_wavenet_cycle(
-                    x, c, weights, dils,
-                    t_tile=self.pallas_stack_tile,
-                    compute_dtype=jnp.bfloat16
-                    if self.pallas_stack_bf16 else jnp.float32,
-                )
+                if self.use_pallas_stack_train:
+                    x, sk = fused_wavenet_cycle_train(
+                        x, c, weights, dils,
+                        t_tile=self.pallas_stack_train_tile,
+                        max_layers_per_call=(
+                            self.pallas_stack_train_layers_per_call
+                        ),
+                    )
+                else:
+                    x, sk = fused_wavenet_cycle(
+                        x, c, weights, dils,
+                        t_tile=self.pallas_stack_tile,
+                        compute_dtype=jnp.bfloat16
+                        if self.pallas_stack_bf16 else jnp.float32,
+                    )
                 skips += sk
         else:
             skips = 0.0
