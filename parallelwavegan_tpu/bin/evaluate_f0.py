@@ -37,8 +37,8 @@ def main():
                         help="directory of ground-truth wavs, or a wav.scp "
                              "(optional sibling segments file)")
     parser.add_argument("--outdir", type=str, default=None)
-    parser.add_argument("--f0min", type=float, default=70.0)
-    parser.add_argument("--f0max", type=float, default=340.0)
+    parser.add_argument("--f0min", type=float, default=40.0)
+    parser.add_argument("--f0max", type=float, default=800.0)
     parser.add_argument("--n_jobs", type=int, default=8)
     parser.add_argument("--verbose", type=int, default=1)
     args = parser.parse_args()

@@ -84,6 +84,37 @@ def yin_f0(
     return f0
 
 
+def postprocess_f0(f0: np.ndarray) -> np.ndarray:
+    """Harvest-style track cleanup: drop 1-frame voiced islands, bridge
+    1-frame unvoiced gaps, and median-of-3 smooth the voiced contour.
+
+    pyworld's Harvest (the reference evaluate_f0 extractor,
+    /root/reference/parallel_wavegan/bin/evaluate_f0.py:102-108) applies
+    heavy temporal voicing smoothing; raw YIN leaves isolated octave /
+    voicing errors that inflate absolute log-F0-RMSE numbers. This brings
+    the track statistics closer without changing the tracker itself.
+    """
+    f0 = np.asarray(f0, np.float32).copy()
+    n = len(f0)
+    if n < 3:
+        return f0
+    v = f0 > 0
+    # 1-frame voiced islands -> unvoiced
+    island = v[1:-1] & ~v[:-2] & ~v[2:]
+    f0[1:-1][island] = 0.0
+    # 1-frame unvoiced gaps -> geometric-mean bridge
+    v = f0 > 0
+    gap = ~v[1:-1] & v[:-2] & v[2:]
+    f0[1:-1][gap] = np.sqrt(f0[:-2][gap] * f0[2:][gap])
+    # median-of-3 on voiced runs (suppresses single-frame octave jumps)
+    v = f0 > 0
+    med = f0.copy()
+    inner = v[1:-1] & v[:-2] & v[2:]
+    stacked = np.stack([f0[:-2], f0[1:-1], f0[2:]])
+    med[1:-1][inner] = np.median(stacked, axis=0)[inner]
+    return med
+
+
 def sine_excitation_np(
     f0: np.ndarray,
     fs: int,

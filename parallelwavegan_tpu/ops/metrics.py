@@ -95,18 +95,22 @@ def mel_cepstral_distortion(
 
 def f0_metrics(
     gen_audio: np.ndarray, gt_audio: np.ndarray, fs: int,
-    hop: int = 256, f0min: float = 70.0, f0max: float = 340.0,
+    hop: int = 256, f0min: float = 40.0, f0max: float = 800.0,
 ) -> dict:
     """log-F0 RMSE, semitone accuracy, and V/UV error rate.
 
     Frames are DTW-aligned on mel-cepstra (the reference aligns the same
-    way before comparing pyworld F0 tracks).
+    way before comparing pyworld F0 tracks). Defaults follow the
+    reference CLI surface (evaluate_f0.py:262-272: f0min 40, f0max 800);
+    the tracker is YIN + Harvest-style voicing cleanup (pyworld is not a
+    dependency of this build — relative comparisons are exact, absolute
+    values are close but not numerically pinned to pyworld).
     """
-    from parallelwavegan_tpu.ops.f0 import yin_f0
+    from parallelwavegan_tpu.ops.f0 import postprocess_f0, yin_f0
     from parallelwavegan_tpu.ops.mcep import sptk_extract
 
-    f0_gen = yin_f0(gen_audio, fs, hop, fmin=f0min, fmax=f0max)
-    f0_gt = yin_f0(gt_audio, fs, hop, fmin=f0min, fmax=f0max)
+    f0_gen = postprocess_f0(yin_f0(gen_audio, fs, hop, fmin=f0min, fmax=f0max))
+    f0_gt = postprocess_f0(yin_f0(gt_audio, fs, hop, fmin=f0min, fmax=f0max))
     mc_gen = sptk_extract(np.asarray(gen_audio, np.float64), fs, n_shift=hop)
     mc_gt = sptk_extract(np.asarray(gt_audio, np.float64), fs, n_shift=hop)
     n_gen = min(len(f0_gen), len(mc_gen))

@@ -54,6 +54,47 @@ def build_lr_schedule(
         t_max = params["T_max"]
         eta_min = params.get("eta_min", 0.0)
         return optax.cosine_decay_schedule(base_lr, t_max, alpha=eta_min / base_lr)
+    if scheduler_type == "CosineAnnealingWarmRestarts":
+        t_0 = params["T_0"]
+        t_mult = params.get("T_mult", 1)
+        eta_min = params.get("eta_min", 0.0)
+        if t_mult != 1:
+            # geometric restart lengths: enumerate enough cycles up front
+            lengths = []
+            t = t_0
+            while sum(lengths) < 10_000_000:
+                lengths.append(t)
+                t *= t_mult
+        else:
+            lengths = [t_0] * 64
+        return optax.sgdr_schedule([
+            dict(init_value=base_lr, peak_value=base_lr, end_value=eta_min,
+                 warmup_steps=0, decay_steps=n) for n in lengths
+        ])
+    if scheduler_type == "LinearLR":
+        start = params.get("start_factor", 1.0 / 3.0)
+        end = params.get("end_factor", 1.0)
+        total = params.get("total_iters", 5)
+
+        def sched(step):
+            import jax.numpy as jnp
+
+            frac = jnp.clip(step / total, 0.0, 1.0)
+            return base_lr * (start + (end - start) * frac)
+
+        return sched
+    if scheduler_type == "PolynomialLR":
+        total = params.get("total_iters", 5)
+        power = params.get("power", 1.0)
+        return optax.polynomial_schedule(
+            init_value=base_lr, end_value=0.0, power=power,
+            transition_steps=total,
+        )
+    if scheduler_type == "LambdaLR":
+        raise ValueError(
+            "LambdaLR takes a python callable and cannot be expressed in "
+            "YAML; use MultiStepLR/ExponentialLR/CosineAnnealingLR instead"
+        )
     raise ValueError(f"scheduler {scheduler_type!r} is not supported")
 
 
@@ -100,13 +141,56 @@ def build_optimizer(
     elif optimizer_type == "SGD":
         momentum = (optimizer_params or {}).get("momentum", 0.0)
         opt = optax.sgd(schedule, momentum=momentum or None)
+    elif optimizer_type == "NAdam":
+        opt = optax.nadam(schedule, b1=betas[0], b2=betas[1], eps=eps)
+    elif optimizer_type == "NAdamW":
+        opt = optax.nadamw(
+            schedule, b1=betas[0], b2=betas[1], eps=eps,
+            weight_decay=weight_decay,
+        )
+        weight_decay = 0.0
+    elif optimizer_type == "Adamax":
+        opt = optax.adamax(schedule, b1=betas[0], b2=betas[1], eps=eps)
+    elif optimizer_type == "RMSprop":
+        alpha = p.pop("alpha", 0.99)
+        momentum = p.pop("momentum", 0.0)
+        centered = p.pop("centered", False)
+        opt = optax.rmsprop(
+            schedule, decay=alpha, eps=eps, centered=centered,
+            momentum=momentum or None,
+        )
+    elif optimizer_type == "Adagrad":
+        opt = optax.adagrad(
+            schedule,
+            initial_accumulator_value=p.pop("initial_accumulator_value", 0.0),
+            eps=eps if eps != 1e-8 else 1e-10,
+        )
+    elif optimizer_type == "Adadelta":
+        opt = optax.adadelta(
+            schedule, rho=p.pop("rho", 0.9),
+            eps=eps if eps != 1e-8 else 1e-6,
+        )
+    elif optimizer_type == "Lamb":
+        opt = optax.lamb(
+            schedule, b1=betas[0], b2=betas[1], eps=eps,
+            weight_decay=weight_decay,
+        )
+        weight_decay = 0.0
+    elif optimizer_type == "Lion":
+        opt = optax.lion(
+            schedule, b1=betas[0], b2=betas[1], weight_decay=weight_decay
+        )
+        weight_decay = 0.0
     else:
         raise ValueError(f"optimizer {optimizer_type!r} is not supported")
 
     chain = []
     if grad_norm and grad_norm > 0:
         chain.append(optax.clip_by_global_norm(grad_norm))
-    if weight_decay and weight_decay > 0 and optimizer_type in ("Adam", "RAdam", "SGD"):
+    if weight_decay and weight_decay > 0 and optimizer_type in (
+        "Adam", "RAdam", "SGD", "NAdam", "Adamax", "RMSprop", "Adagrad",
+        "Adadelta",
+    ):
         # torch's Adam/RAdam/SGD weight_decay is L2-in-gradient: grad is
         # replaced by grad + wd*param BEFORE the moment updates — exactly
         # add_decayed_weights placed ahead of the optimizer in the chain

@@ -87,3 +87,20 @@ def test_wav_index_scp_and_segments(tmp_path):
     assert set(idx) == {"utt_a", "utt_b"}
     _, seg = read_wav_entry(idx["utt_a"])
     assert len(seg) == fs
+
+
+def test_postprocess_f0_cleanup():
+    from parallelwavegan_tpu.ops.f0 import postprocess_f0
+
+    f0 = np.full(20, 150.0, np.float32)
+    f0[5] = 0.0          # 1-frame unvoiced gap -> bridged
+    f0[10] = 300.0       # octave jump -> median-suppressed
+    f0[:2] = 0.0
+    out = postprocess_f0(f0)
+    assert out[5] > 0 and abs(out[5] - 150.0) < 1.0
+    assert abs(out[10] - 150.0) < 1.0
+    # isolated voiced island removed
+    f0 = np.zeros(20, np.float32)
+    f0[7] = 200.0
+    out = postprocess_f0(f0)
+    assert out[7] == 0.0
