@@ -208,6 +208,10 @@ def main():
                 coordinator_address=os.environ.get("JAX_COORDINATOR_ADDRESS"),
                 num_processes=int(np_) if np_ is not None else None,
                 process_id=int(pid) if pid is not None else None,
+                # default 300 s: a rank that compiles slowly on a loaded CI
+                # machine can lag past the shutdown barrier of a rank that
+                # finished a short run — give stragglers longer
+                shutdown_timeout_seconds=1200,
             )
         except RuntimeError as e:  # backend already up (single-proc tests)
             logging.warning("jax.distributed.initialize skipped: %s", e)
