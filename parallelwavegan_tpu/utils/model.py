@@ -376,20 +376,40 @@ class InferenceModel:
             from parallelwavegan_tpu.layers.duration import repeat_by_durations_np
 
             cj = jnp.asarray(c.astype(np.int32))[None]
-            ds = np.asarray(
-                gen.apply(variables, cj, method="predict_durations")
-            )[0]
-            emb = np.asarray(gen.apply(variables, cj, method="embed_tokens"))[0]
+            key = ("discrete_front", c.shape[0])
+            if key not in self._jit_cache:
+                # jit the tiny front-end too: eager dispatch through the
+                # device tunnel costs more than the compute
+                self._jit_cache[key] = jax.jit(
+                    lambda cc: (
+                        gen.apply(variables, cc, method="predict_durations"),
+                        gen.apply(variables, cc, method="embed_tokens"),
+                    )
+                )
+            ds_d, emb_d = self._jit_cache[key](cj)
+            ds = np.asarray(jax.device_get(ds_d))[0]
+            emb = np.asarray(jax.device_get(emb_d))[0]
             expanded = repeat_by_durations_np(emb, ds)
-            key = ("discrete_dur", expanded.shape[0])
+            t_frames = expanded.shape[0]
+            # bucketed trunk: one compiled program per bucket, edge-pad the
+            # expanded embedding and trim the synthesized tail
+            pad_t = max(self.bucket, -(-t_frames // self.bucket) * self.bucket)
+            if pad_t > t_frames:
+                expanded = np.pad(
+                    expanded, ((0, pad_t - t_frames), (0, 0)), mode="edge"
+                )
+            key = ("discrete_dur", pad_t)
             if key not in self._jit_cache:
                 self._jit_cache[key] = jax.jit(
                     lambda e: gen.apply(
                         variables, e[None], method="decode_expanded"
                     )[0]
                 )
-            y = self._jit_cache[key](jnp.asarray(expanded))
-            return np.asarray(jax.device_get(y))
+            y = np.asarray(jax.device_get(
+                self._jit_cache[key](jnp.asarray(expanded))
+            ))
+            factor = len(y) // pad_t
+            return y[: t_frames * factor]
         rng = rng if rng is not None else jax.random.key(
             np.random.randint(2**31)
         )
@@ -414,9 +434,17 @@ class InferenceModel:
                 )
             y = self._jit_cache[key](jnp.asarray(c_p), z)
             return np.asarray(jax.device_get(y))[: t * uf]
-        fwd = self._compiled(c.shape[0], None)
-        y = fwd(jnp.asarray(c.astype(np.float32)), jnp.zeros((0,)))
-        return np.asarray(jax.device_get(y))
+        # plain discrete HiFi-GAN: bucket the token length (pad with edge
+        # tokens, trim the tail) so utterances share compiled programs
+        t = c.shape[0]
+        pad_t = max(self.bucket, -(-t // self.bucket) * self.bucket)
+        c_p = np.pad(c, ((0, pad_t - t), (0, 0)), mode="edge")
+        fwd = self._compiled(pad_t, None)
+        y = np.asarray(jax.device_get(
+            fwd(jnp.asarray(c_p.astype(np.float32)), jnp.zeros((0,)))
+        ))
+        factor = len(y) // pad_t
+        return y[: t * factor]
 
     def _upsample_factor(self) -> int:
         """Mel frame -> output sample ratio, including PQMF synthesis.
