@@ -77,7 +77,7 @@ def main():
         synthesize(wav_dir, fs, args.utts, args.dur)
 
     # per-config feature dump (feature params may differ between configs)
-    dump = os.path.join(args.workdir, f"dump_{name}")
+    dump = os.path.join(args.workdir, f"dump_{name}_{args.utts}x{args.dur}")
     py = sys.executable
     if not os.path.isdir(os.path.join(dump, "norm")):
         run([py, "-m", "parallelwavegan_tpu.bin.preprocess",

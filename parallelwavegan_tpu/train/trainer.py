@@ -104,7 +104,23 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def run(self):
-        """Train until train_max_steps, checkpointing on exit."""
+        """Train until train_max_steps, checkpointing on exit.
+
+        SIGTERM (the signal `timeout`, cluster schedulers, and TPU
+        preemptions deliver) is converted into KeyboardInterrupt so the
+        finally-save below still runs — mirroring the reference's
+        crash-resilience contract (train.py:1540-1546) under preemption,
+        not just Ctrl-C.
+        """
+        import signal
+
+        def _term(signum, frame):
+            raise KeyboardInterrupt(f"signal {signum}")
+
+        try:
+            prev_term = signal.signal(signal.SIGTERM, _term)
+        except ValueError:  # non-main thread
+            prev_term = None
         self.tick = time.time()
         try:
             for batch in self.train_loader:
@@ -121,6 +137,10 @@ class Trainer:
                 if self.finish_train:
                     break
         finally:
+            if prev_term is not None:
+                import signal
+
+                signal.signal(signal.SIGTERM, prev_term)
             if self.is_rank0:
                 self.save_checkpoint(
                     os.path.join(
@@ -275,9 +295,15 @@ class Trainer:
             # the dump forward runs on THIS host only: detach the params
             # from their global-mesh sharding so the jit stays local
             params_g, vars_g = jax.device_get((params_g, vars_g))
-        y_ = self._gen_forward(
-            params_g, vars_g, shard_batch_to_host(small), rng,
-            False,
+        if not hasattr(self, "_jit_dump_forward"):
+            # eager dispatch of a deep generator through the device tunnel
+            # costs minutes; the dump shape is the fixed eval-crop shape,
+            # so one jitted program serves every interval
+            self._jit_dump_forward = jax.jit(
+                lambda p, v, b, r: self._gen_forward(p, v, b, r, False)
+            )
+        y_ = self._jit_dump_forward(
+            params_g, vars_g, shard_batch_to_host(small), rng
         )
         if self.config["generator_params"].get("out_channels", 1) > 1:
             y_ = self.criterion.pqmf.synthesis(y_)

@@ -103,3 +103,54 @@ def test_pretrain_loads_params_but_restarts_steps(tmp_path):
                      ["--pretrain", str(ckpt)])
     # params-only warm start: trains steps 1..2 again from step 0
     assert "(Steps: 1)" in log and "Finished training (2 steps)" in log
+
+
+def test_sigterm_preemption_saves_checkpoint(tmp_path):
+    """SIGTERM (timeout / scheduler preemption) must still finally-save
+    (reference contract is Ctrl-C only; TPU preemptions send SIGTERM)."""
+    import signal
+    import time
+
+    train_dir, dev_dir = tmp_path / "train", tmp_path / "dev"
+    _write_dump(str(train_dir), 8, 0)
+    _write_dump(str(dev_dir), 4, 1)
+    config = dict(BASE_CONFIG)
+    config.update(distributed=False, train_max_steps=100000,
+                  save_interval_steps=100000, eval_interval_steps=100000,
+                  log_interval_steps=1)
+    conf = tmp_path / "conf.yaml"
+    with open(conf, "w") as f:
+        yaml.safe_dump(config, f)
+
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    out = tmp_path / "exp"
+    logf = tmp_path / "train.log"
+    with open(logf, "w") as lf:
+        proc = subprocess.Popen(
+            [sys.executable, "-m", "parallelwavegan_tpu.bin.train",
+             "--config", str(conf), "--train-dumpdir", str(train_dir),
+             "--dev-dumpdir", str(dev_dir), "--outdir", str(out),
+             "--verbose", "1"],
+            env=env, stdout=lf, stderr=subprocess.STDOUT,
+        )
+    try:
+        deadline = time.time() + 300
+        while time.time() < deadline:
+            if "(Steps: " in open(logf).read():
+                break
+            time.sleep(1)
+        else:
+            raise AssertionError("training never stepped: " +
+                                 open(logf).read()[-2000:])
+        proc.send_signal(signal.SIGTERM)
+        rc = proc.wait(timeout=120)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    log = open(logf).read()
+    assert rc == 0, log[-3000:]
+    saved = [p for p in os.listdir(out) if p.startswith("checkpoint-")]
+    assert saved, log[-3000:]
