@@ -31,6 +31,8 @@ from parallelwavegan_tpu.layers.tade import (  # noqa: F401
 )
 from parallelwavegan_tpu.layers.sine import SineGen  # noqa: F401
 from parallelwavegan_tpu.layers.vq import VQCodebook  # noqa: F401
+from parallelwavegan_tpu.ops.pqmf import PQMF  # noqa: F401  (reference
+# exposes PQMF as a layer; here the filterbank lives in ops)
 from parallelwavegan_tpu.layers.duration import (  # noqa: F401
     DurationPredictor,
     LayerNorm,
