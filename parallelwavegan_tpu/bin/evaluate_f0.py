@@ -1,8 +1,11 @@
 """Objective evaluation CLI: F0 metrics (log-F0 RMSE, semitone acc, VUV).
 
 Behavioral reference: /root/reference/parallel_wavegan/bin/evaluate_f0.py
-(pyworld F0 + DTW + multiprocess fan-out). F0 here is the YIN tracker
-from ops/f0.py; alignment is mel-cepstral DTW as in evaluate_mcd.
+(pyworld Harvest F0 + DTW + multiprocess fan-out). F0 here defaults to
+the numpy Harvest implementation (ops/harvest.py — the same algorithm
+the reference invokes via pyworld, so absolute numbers are comparable);
+--tracker yin keeps the lighter YIN path. Alignment is mel-cepstral DTW
+as in evaluate_mcd.
 """
 
 from __future__ import annotations
@@ -20,11 +23,12 @@ from parallelwavegan_tpu.utils.io import read_wav_entry, wav_index
 
 
 def _evaluate_one(args_tuple):
-    utt_id, gen_entry, gt_entry, f0min, f0max = args_tuple
+    utt_id, gen_entry, gt_entry, f0min, f0max, tracker = args_tuple
     fs_gen, gen = read_wav_entry(gen_entry)
     fs_gt, gt = read_wav_entry(gt_entry)
     assert fs_gen == fs_gt, f"{utt_id}: fs mismatch"
-    m = f0_metrics(gen, gt, fs_gen, f0min=f0min, f0max=f0max)
+    m = f0_metrics(gen, gt, fs_gen, f0min=f0min, f0max=f0max,
+                   tracker=tracker)
     return utt_id, m
 
 
@@ -39,6 +43,10 @@ def main():
     parser.add_argument("--outdir", type=str, default=None)
     parser.add_argument("--f0min", type=float, default=40.0)
     parser.add_argument("--f0max", type=float, default=800.0)
+    parser.add_argument("--tracker", type=str, default="harvest",
+                        choices=["harvest", "yin"],
+                        help="F0 estimator (harvest matches the "
+                             "reference's pyworld extractor family)")
     parser.add_argument("--n_jobs", type=int, default=8)
     parser.add_argument("--verbose", type=int, default=1)
     args = parser.parse_args()
@@ -60,7 +68,8 @@ def main():
         if match is None:
             logging.warning("no ground truth for %s; skipped.", utt)
             continue
-        pairs.append((utt, gen_entry, match, args.f0min, args.f0max))
+        pairs.append((utt, gen_entry, match, args.f0min, args.f0max,
+                      args.tracker))
     logging.info("number of utterances = %d", len(pairs))
 
     with mp.Pool(args.n_jobs) as pool:

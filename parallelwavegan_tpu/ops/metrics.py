@@ -96,21 +96,34 @@ def mel_cepstral_distortion(
 def f0_metrics(
     gen_audio: np.ndarray, gt_audio: np.ndarray, fs: int,
     hop: int = 256, f0min: float = 40.0, f0max: float = 800.0,
+    tracker: str = "harvest",
 ) -> dict:
     """log-F0 RMSE, semitone accuracy, and V/UV error rate.
 
     Frames are DTW-aligned on mel-cepstra (the reference aligns the same
     way before comparing pyworld F0 tracks). Defaults follow the
-    reference CLI surface (evaluate_f0.py:262-272: f0min 40, f0max 800);
-    the tracker is YIN + Harvest-style voicing cleanup (pyworld is not a
-    dependency of this build — relative comparisons are exact, absolute
-    values are close but not numerically pinned to pyworld).
+    reference CLI surface (evaluate_f0.py:262-272: f0min 40, f0max 800).
+    The default tracker is the numpy Harvest implementation (ops/harvest.py)
+    — the same estimator family the reference uses via pyworld
+    (evaluate_f0.py:102-108) — so absolute log-F0/VUV numbers are
+    comparable; ``tracker="yin"`` keeps the round-1 YIN path.
     """
-    from parallelwavegan_tpu.ops.f0 import postprocess_f0, yin_f0
     from parallelwavegan_tpu.ops.mcep import sptk_extract
 
-    f0_gen = postprocess_f0(yin_f0(gen_audio, fs, hop, fmin=f0min, fmax=f0max))
-    f0_gt = postprocess_f0(yin_f0(gt_audio, fs, hop, fmin=f0min, fmax=f0max))
+    if tracker == "harvest":
+        from parallelwavegan_tpu.ops.harvest import harvest_f0
+
+        f0_gen = harvest_f0(gen_audio, fs, hop, f0_floor=f0min, f0_ceil=f0max)
+        f0_gt = harvest_f0(gt_audio, fs, hop, f0_floor=f0min, f0_ceil=f0max)
+    elif tracker == "yin":
+        from parallelwavegan_tpu.ops.f0 import postprocess_f0, yin_f0
+
+        f0_gen = postprocess_f0(
+            yin_f0(gen_audio, fs, hop, fmin=f0min, fmax=f0max))
+        f0_gt = postprocess_f0(
+            yin_f0(gt_audio, fs, hop, fmin=f0min, fmax=f0max))
+    else:
+        raise ValueError(f"unknown F0 tracker: {tracker}")
     mc_gen = sptk_extract(np.asarray(gen_audio, np.float64), fs, n_shift=hop)
     mc_gt = sptk_extract(np.asarray(gt_audio, np.float64), fs, n_shift=hop)
     n_gen = min(len(f0_gen), len(mc_gen))
