@@ -36,23 +36,54 @@ if [ "${stage}" -le 0 ] && [ "${stop_stage}" -ge 0 ]; then
     python3 local/data_prep.py "${db_root}" data
 fi
 
+use_local_condition="$(python3 -c "import yaml; print(str(yaml.safe_load(open('${conf}')).get('use_local_condition', False)).lower())")"
+
 if [ "${stage}" -le 1 ] && [ "${stop_stage}" -ge 1 ]; then
     echo "Stage 1: Feature extraction (waves + speaker ids)"
+    extra_opts=""
+    [ "${use_local_condition}" = "true" ] && extra_opts="--extract-f0"
     for name in "${train_set}" "${dev_set}" "${eval_set}"; do
         mkdir -p "${dumpdir}/${name}/raw"
         ../../utils/make_subset_data.sh "data/${name}" "${n_jobs}" "${dumpdir}/${name}/raw"
         for i in $(seq 1 "${n_jobs}"); do
+            # shellcheck disable=SC2086
             python3 -m parallelwavegan_tpu.bin.preprocess \
                 --config "${conf}" \
                 --wav-scp "${dumpdir}/${name}/raw/${i}/wav.scp" \
                 --utt2spk "data/${name}/utt2spk" \
                 --spk2idx "data/spk2idx" \
                 --dumpdir "${dumpdir}/${name}/raw/dump.${i}" \
-                --skip-mel-ext --verbose 0 &
+                --skip-mel-ext ${extra_opts} --verbose 0 &
         done
         wait
     done
+
+    if [ "${use_local_condition}" = "true" ]; then
+        # normalize the continuous log-F0 channel (reference
+        # egs/vctk/vq1/run.sh:117-150: stats + normalize --target-feats local)
+        echo "Stage 1b: Local-feature statistics + normalization"
+        python3 -m parallelwavegan_tpu.bin.compute_statistics \
+            --config "${conf}" \
+            --rootdir "${dumpdir}/${train_set}/raw" \
+            --dumpdir "${dumpdir}/${train_set}" \
+            --target-feats local --verbose 0
+        for name in "${train_set}" "${dev_set}" "${eval_set}"; do
+            for i in $(seq 1 "${n_jobs}"); do
+                mkdir -p "${dumpdir}/${name}/norm/dump.${i}"
+                python3 -m parallelwavegan_tpu.bin.normalize \
+                    --config "${conf}" \
+                    --stats "${dumpdir}/${train_set}/stats.h5" \
+                    --rootdir "${dumpdir}/${name}/raw/dump.${i}" \
+                    --dumpdir "${dumpdir}/${name}/norm/dump.${i}" \
+                    --target-feats local --verbose 0 &
+            done
+            wait
+        done
+    fi
 fi
+
+featdir_suffix="raw"
+[ "${use_local_condition}" = "true" ] && featdir_suffix="norm"
 
 if [ -z "${tag}" ]; then
     expdir="exp/${train_set}_vctk_$(basename "${conf}" .yaml)"
@@ -68,8 +99,8 @@ if [ "${stage}" -le 2 ] && [ "${stop_stage}" -ge 2 ]; then
     # shellcheck disable=SC2086
     python3 -m parallelwavegan_tpu.bin.train \
         --config "${conf}" \
-        --train-dumpdir "${dumpdir}/${train_set}/raw" \
-        --dev-dumpdir "${dumpdir}/${dev_set}/raw" \
+        --train-dumpdir "${dumpdir}/${train_set}/${featdir_suffix}" \
+        --dev-dumpdir "${dumpdir}/${dev_set}/${featdir_suffix}" \
         --outdir "${expdir}" ${resume_opt}
 fi
 
@@ -79,7 +110,7 @@ if [ "${stage}" -le 3 ] && [ "${stop_stage}" -ge 3 ]; then
         checkpoint="$(ls -t "${expdir}"/checkpoint-*.pkl 2>/dev/null | head -1)"
     for name in "${dev_set}" "${eval_set}"; do
         python3 -m parallelwavegan_tpu.bin.decode \
-            --dumpdir "${dumpdir}/${name}/raw" \
+            --dumpdir "${dumpdir}/${name}/${featdir_suffix}" \
             --checkpoint "${checkpoint}" \
             --outdir "${expdir}/wav/$(basename "${checkpoint}" .pkl)/${name}"
     done

@@ -219,19 +219,38 @@ def _decode_vqvae(args, config):
     from parallelwavegan_tpu.utils.checkpoint import load_generator_params
 
     fmt = config.get("format", "hdf5")
+    use_local = config.get("use_local_condition", False)
+    use_global = config.get("use_global_condition", False)
     if args.dumpdir is not None:
+        cond_kw = {}
         if fmt == "hdf5":
+            if use_local:
+                cond_kw["local_query"] = "*.h5"
+                cond_kw["local_load_fn"] = \
+                    lambda x: read_hdf5(x, "local")  # noqa: E731
+            if use_global:
+                cond_kw["global_query"] = "*.h5"
+                cond_kw["global_load_fn"] = \
+                    lambda x: read_hdf5(x, "global")  # noqa: E731
             dataset = AudioDataset(
                 args.dumpdir, audio_query="*.h5",
                 audio_load_fn=lambda x: read_hdf5(x, "wave"),
-                return_utt_id=True,
+                return_utt_id=True, **cond_kw,
             )
         else:
+            if use_local:
+                cond_kw["local_query"] = "*-local.npy"
+                cond_kw["local_load_fn"] = np.load
+            if use_global:
+                cond_kw["global_query"] = "*-global.npy"
+                cond_kw["global_load_fn"] = np.load
             dataset = AudioDataset(
                 args.dumpdir, audio_query="*-wave.npy", audio_load_fn=np.load,
-                return_utt_id=True,
+                return_utt_id=True, **cond_kw,
             )
     else:
+        assert not (use_local or use_global), \
+            "scp decode does not carry local/global conditioning"
         dataset = AudioSCPDataset(args.feats_scp, return_utt_id=True)
     logging.info("The number of features to be decoded = %d.", len(dataset))
 
@@ -245,7 +264,12 @@ def _decode_vqvae(args, config):
     pqmf = PQMF(subbands) if subbands > 1 else None
 
     encode = jax.jit(lambda x: model.apply(variables, x, method="encode"))
-    decode = jax.jit(lambda i: model.apply(variables, i, method="decode"))
+    decode = jax.jit(
+        lambda i, l, g: model.apply(variables, i, l, g, method="decode"),
+        static_argnames=(),
+    ) if (use_local or use_global) else jax.jit(
+        lambda i: model.apply(variables, i, method="decode")
+    )
 
     # bucket utterance lengths so the whole set hits few compiled shapes
     downs = 1
@@ -259,17 +283,36 @@ def _decode_vqvae(args, config):
     total_rtf = 0.0
     with open(os.path.join(args.outdir, "text"), "w") as sym_f:
         for i in tqdm(range(len(dataset))):
-            utt_id, audio = dataset[i][0], dataset[i][1]
+            items = dataset[i]
+            utt_id, audio = items[0], items[1]
+            rest = list(items[2:])
+            l = rest.pop(0) if use_local else None
+            g = rest.pop(0) if use_global else None
             audio = np.asarray(audio, np.float32)
             t = len(audio)
             pad_t = -(-t // bucket) * bucket
             audio = np.pad(audio, (0, pad_t - t), mode="edge")
             x = jnp.asarray(audio)[None, :, None]
+            if l is not None:
+                # local features ride the hop grid; the latent grid is
+                # prod(downsample_scales) x subbands samples per step, so
+                # pad to the frame count the conditioned decoder consumes
+                hop = config["hop_size"]
+                n_l = pad_t // hop
+                l = np.asarray(l, np.float32)
+                l = np.pad(l, ((0, max(0, n_l - len(l))), (0, 0)),
+                           mode="edge")[:n_l]
+                l = jnp.asarray(l)[None]
+            if g is not None:
+                g = jnp.asarray(np.asarray(g).reshape(1), jnp.int32)
             start = time.time()
             if pqmf is not None:
                 x = pqmf.analysis(x)
             indices = encode(x)
-            y = decode(indices)
+            if use_local or use_global:
+                y = decode(indices, l, g)
+            else:
+                y = decode(indices)
             if pqmf is not None:
                 y = pqmf.synthesis(y)
             y = np.asarray(jax.device_get(y))[0, :t, 0]

@@ -178,8 +178,27 @@ def main():
         audio = audio[: len(mel) * hop_size]
         assert len(mel) * hop_size == len(audio)
 
-        f0 = excitation = None
-        if args.extract_f0 or config.get("generator_type") == "UHiFiGANGenerator":
+        f0 = excitation = local = None
+        if args.extract_f0:
+            # --extract-f0 produces the VQ-VAE "local" conditioning
+            # features: continuous log-F0 + V/UV at the hop grid
+            # (reference preprocess.py:407-417; vq1 recipes pass this
+            # flag together with --skip-mel-ext)
+            from parallelwavegan_tpu.ops.f0 import logf0_and_vuv
+
+            local = logf0_and_vuv(audio, fs, hop_size)
+            if local is None:
+                logging.warning(f"{utt_id}: all frames unvoiced; skipped.")
+                continue
+            # sync audio to the local frame grid (reference :410-417)
+            if len(audio) > len(local) * hop_size:
+                audio = audio[: len(local) * hop_size]
+            elif len(audio) < len(local) * hop_size:
+                audio = np.pad(
+                    audio, (0, len(local) * hop_size - len(audio)),
+                    mode="edge",
+                )
+        if config.get("generator_type") == "UHiFiGANGenerator":
             from parallelwavegan_tpu.ops.f0 import extract_f0_and_excitation
 
             f0, excitation = extract_f0_and_excitation(
@@ -217,6 +236,8 @@ def main():
             if f0 is not None:
                 write_hdf5(path, "f0", f0.astype(np.float32))
                 write_hdf5(path, "excitation", excitation.astype(np.float32))
+            if local is not None:
+                write_hdf5(path, "local", local.astype(np.float32))
             if utt2spkid is not None:
                 write_hdf5(path, "global", np.asarray(utt2spkid[utt_id]))
         elif fmt == "npy":
@@ -240,6 +261,18 @@ def main():
                 np.save(
                     os.path.join(args.dumpdir, f"{utt_id}-excitation.npy"),
                     excitation.astype(np.float32),
+                    allow_pickle=False,
+                )
+            if local is not None:
+                np.save(
+                    os.path.join(args.dumpdir, f"{utt_id}-local.npy"),
+                    local.astype(np.float32),
+                    allow_pickle=False,
+                )
+            if utt2spkid is not None:
+                np.save(
+                    os.path.join(args.dumpdir, f"{utt_id}-global.npy"),
+                    np.asarray(utt2spkid[utt_id]),
                     allow_pickle=False,
                 )
         else:

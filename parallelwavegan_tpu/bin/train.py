@@ -241,6 +241,8 @@ def main():
         use_aux_input=flags["use_aux_input"],
         use_duration=flags["use_duration"],
         use_f0_and_excitation=flags["use_f0_and_excitation"],
+        use_local_condition=flags["use_local_condition"],
+        use_global_condition=flags["use_global_condition"],
         rng=np.random.default_rng(config.get("seed", 0) + jax.process_index()),
     )
     per_host_batch = config["batch_size"] // jax.process_count()

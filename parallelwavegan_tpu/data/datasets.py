@@ -213,13 +213,15 @@ class AudioMelF0ExcitationDataset(_CachedDataset):
 
 
 class AudioDataset(_CachedDataset):
-    """Audio-only (+ optional global id) dataset (VQ-VAE wav2wav path)."""
+    """Audio-only (+ optional local/global) dataset (VQ-VAE wav2wav path)."""
 
     def __init__(
         self,
         root_dir,
         audio_query="*.h5",
         audio_load_fn=_default_audio_load,
+        local_query=None,
+        local_load_fn=None,
         global_query=None,
         global_load_fn=None,
         audio_length_threshold=None,
@@ -227,19 +229,25 @@ class AudioDataset(_CachedDataset):
         allow_cache=False,
     ):
         audio_files = sorted(find_files(root_dir, audio_query))
+        local_files = (
+            sorted(find_files(root_dir, local_query)) if local_query else None
+        )
         global_files = (
             sorted(find_files(root_dir, global_query)) if global_query else None
         )
         if audio_length_threshold is not None:
             lengths = [audio_load_fn(f).shape[0] for f in audio_files]
-            audio_files, global_files = _filter_by_length(
-                lengths, audio_length_threshold, audio_files, global_files
+            audio_files, local_files, global_files = _filter_by_length(
+                lengths, audio_length_threshold,
+                audio_files, local_files, global_files,
             )
         assert len(audio_files) != 0, f"No audio files found in {root_dir}."
 
         self.audio_files = audio_files
+        self.local_files = local_files
         self.global_files = global_files
         self.audio_load_fn = audio_load_fn
+        self.local_load_fn = local_load_fn
         self.global_load_fn = global_load_fn
         self.utt_ids = [
             os.path.splitext(os.path.basename(f))[0] for f in audio_files
@@ -249,13 +257,13 @@ class AudioDataset(_CachedDataset):
 
     def __getitem__(self, idx):
         def build():
+            items = (self.audio_load_fn(self.audio_files[idx]),)
+            if self.local_files is not None:
+                items += (self.local_load_fn(self.local_files[idx]),)
             if self.global_files is not None:
-                items = (
-                    self.audio_load_fn(self.audio_files[idx]),
-                    self.global_load_fn(self.global_files[idx]),
-                )
-            else:
-                items = self.audio_load_fn(self.audio_files[idx])
+                items += (self.global_load_fn(self.global_files[idx]),)
+            if len(items) == 1:
+                items = items[0]
             if self.return_utt_id:
                 if not isinstance(items, tuple):
                     items = (items,)

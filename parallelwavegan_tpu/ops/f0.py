@@ -115,6 +115,39 @@ def postprocess_f0(f0: np.ndarray) -> np.ndarray:
     return med
 
 
+def logf0_and_vuv(
+    audio: np.ndarray,
+    fs: int,
+    hop_size: int,
+    f0min: float = 40.0,
+    f0max: float = 500.0,
+) -> np.ndarray | None:
+    """Continuous log-F0 + V/UV local-conditioning features, (#frames, 2).
+
+    Behavioral reference: logf0_and_vuv_pyreaper
+    (/root/reference/parallel_wavegan/bin/preprocess.py:136-185): extract
+    F0, hold the first/last voiced values across the edges, linearly
+    interpolate unvoiced gaps, take log, and pair with a binary V/UV
+    channel. Returns None when every frame is unvoiced (the caller skips
+    the utterance, as the reference does). The tracker here is the numpy
+    Harvest implementation (ops/harvest.py) instead of pyreaper — same
+    contract, same defaults (f0min 40, f0max 500).
+    """
+    from parallelwavegan_tpu.ops.harvest import harvest_f0
+
+    f0 = harvest_f0(audio, fs, hop_size, f0_floor=f0min, f0_ceil=f0max)
+    vuv = (f0 > 0).astype(np.float32)
+    if vuv.sum() == 0:
+        return None
+    voiced_idx = np.flatnonzero(f0 > 0)
+    # np.interp holds the boundary values outside the voiced span and
+    # linearly bridges interior unvoiced gaps — exactly the reference's
+    # pad-then-interp1d sequence
+    filled = np.interp(np.arange(len(f0)), voiced_idx, f0[voiced_idx])
+    lf0 = np.log(filled).astype(np.float32)
+    return np.stack([lf0, vuv], axis=-1)
+
+
 def sine_excitation_np(
     f0: np.ndarray,
     fs: int,

@@ -144,3 +144,36 @@ def test_short_input_does_not_crash():
     for n in (0, 1, 100, 1000):
         f0 = harvest_f0(np.zeros(n), FS, HOP)
         assert np.all(f0 == 0)
+
+
+def test_logf0_and_vuv_contract():
+    # reference contract (preprocess.py:136-185): (#frames, 2), continuous
+    # log-F0 everywhere (edges held, gaps interpolated), binary V/UV
+    from parallelwavegan_tpu.ops.f0 import logf0_and_vuv
+
+    hop = 64
+    t = _t(2.0)
+    x = np.concatenate(
+        [np.zeros(FS // 2), np.sin(2 * np.pi * 220 * t), np.zeros(FS // 2)]
+    )
+    local = logf0_and_vuv(x, FS, hop)
+    assert local is not None
+    assert local.ndim == 2 and local.shape[1] == 2
+    assert local.dtype == np.float32
+    lf0, vuv = local[:, 0], local[:, 1]
+    assert set(np.unique(vuv)) <= {0.0, 1.0}
+    assert np.all(np.isfinite(lf0))  # continuous: no holes in unvoiced spans
+    voiced = vuv > 0
+    assert voiced.any() and (~voiced).any()
+    assert np.abs(np.median(lf0[voiced]) - np.log(220)) < 0.05
+    # unvoiced head/tail hold the boundary voiced value
+    first_v = np.flatnonzero(voiced)[0]
+    assert np.allclose(lf0[:first_v], lf0[first_v])
+
+
+def test_logf0_and_vuv_all_unvoiced_returns_none():
+    from parallelwavegan_tpu.ops.f0 import logf0_and_vuv
+
+    rng = np.random.RandomState(0)
+    assert logf0_and_vuv(rng.randn(FS) * 0.1, FS, 64) is None
+    assert logf0_and_vuv(np.zeros(FS), FS, 64) is None
