@@ -1,0 +1,155 @@
+#!/usr/bin/env python3
+"""Kaldi-style job dispatcher: run.pl / slurm.pl role equivalent.
+
+Behavioral reference: the reference recipes prefix every CLI call with
+``${train_cmd}`` / ``${cuda_cmd}`` resolved by cmd.sh to utils/run.pl or
+utils/slurm.pl (/root/reference/egs/ljspeech/voc1/run.sh:66,82,127).
+Same invocation contract here:
+
+    run_jobs.py [opts] <log> <command> [args...]
+    run_jobs.py [opts] JOB=1:N <log> <command> [args...]
+
+* ``JOB=1:N`` fans the command out N ways; every literal ``JOB`` in the
+  log path and the command arguments is substituted with the job index.
+* stdout/stderr of each job goes to its log file (with the kaldi header/
+  footer lines: the command, start time, and "# Ended (code C) at ...").
+* exit status is non-zero if ANY job fails, after all jobs finish.
+
+Options:
+    --max-jobs-run N   cap concurrent jobs (default: all at once)
+    --backend local|slurm
+                       local = subprocesses (run.pl); slurm = one
+                       ``sbatch --wait --array`` submission (slurm.pl)
+    --gpu G            gpus per job (slurm backend: --gres=gpu:G)
+    --mem M            memory per job (slurm backend, e.g. 8G)
+    --time T           time limit (slurm backend, e.g. 24:00:00)
+"""
+
+import argparse
+import os
+import re
+import shlex
+import subprocess
+import sys
+import time
+
+
+def parse_args(argv):
+    parser = argparse.ArgumentParser(
+        description="Run (arrays of) jobs with per-job logs.",
+    )
+    parser.add_argument("--max-jobs-run", type=int, default=None)
+    parser.add_argument("--backend", default="local",
+                        choices=["local", "slurm"])
+    parser.add_argument("--gpu", type=int, default=0)
+    parser.add_argument("--mem", default=None)
+    parser.add_argument("--time", default=None)
+    # everything after the options: [JOB=a:b] <log> <command...>
+    args, rest = parser.parse_known_args(argv)
+    if not rest:
+        parser.error("missing <log> <command>")
+    job_range = None
+    m = re.fullmatch(r"(\w+)=(\d+):(\d+)", rest[0])
+    if m:
+        args.job_name = m.group(1)
+        job_range = (int(m.group(2)), int(m.group(3)))
+        rest = rest[1:]
+    else:
+        args.job_name = "JOB"
+    if len(rest) < 2:
+        parser.error("missing <log> or <command>")
+    args.log, args.command = rest[0], rest[1:]
+    args.job_range = job_range
+    return args
+
+
+def _substitute(items, name, idx):
+    return [i.replace(name, str(idx)) for i in items]
+
+
+def _run_one(log, command):
+    os.makedirs(os.path.dirname(os.path.abspath(log)), exist_ok=True)
+    cmdline = " ".join(shlex.quote(c) for c in command)
+    with open(log, "w") as f:
+        f.write(f"# {cmdline}\n")
+        f.write(f"# Started at {time.strftime('%a %b %d %H:%M:%S %Z %Y')}\n")
+        f.flush()
+        proc = subprocess.Popen(command, stdout=f, stderr=subprocess.STDOUT)
+    return proc
+
+
+def _finish_one(log, proc):
+    code = proc.wait()
+    with open(log, "a") as f:
+        f.write(f"# Ended (code {code}) at "
+                f"{time.strftime('%a %b %d %H:%M:%S %Z %Y')}\n")
+    return code
+
+
+def run_local(args):
+    jobs = []
+    if args.job_range is None:
+        jobs.append((args.log, args.command))
+    else:
+        lo, hi = args.job_range
+        for i in range(lo, hi + 1):
+            jobs.append((
+                args.log.replace(args.job_name, str(i)),
+                _substitute(args.command, args.job_name, i),
+            ))
+    max_run = args.max_jobs_run or len(jobs)
+    running, codes = [], []
+    for log, cmd in jobs:
+        while len(running) >= max_run:
+            log0, p0 = running.pop(0)
+            codes.append((log0, _finish_one(log0, p0)))
+        running.append((log, _run_one(log, cmd)))
+    for log0, p0 in running:
+        codes.append((log0, _finish_one(log0, p0)))
+    failed = [(log, c) for log, c in codes if c != 0]
+    for log, c in failed:
+        print(f"run_jobs.py: job failed (code {c}), see {log}",
+              file=sys.stderr)
+    return 1 if failed else 0
+
+
+def run_slurm(args):
+    """One sbatch --wait submission (array job for JOB ranges)."""
+    sbatch = ["sbatch", "--wait", "--parsable",
+              "--output=/dev/null", "--error=/dev/null"]
+    if args.gpu:
+        sbatch.append(f"--gres=gpu:{args.gpu}")
+    if args.mem:
+        sbatch.append(f"--mem={args.mem}")
+    if args.time:
+        sbatch.append(f"--time={args.time}")
+    cmdline = " ".join(shlex.quote(c) for c in args.command)
+    if args.job_range is not None:
+        lo, hi = args.job_range
+        spec = f"--array={lo}-{hi}"
+        if args.max_jobs_run:
+            spec += f"%{args.max_jobs_run}"
+        sbatch.append(spec)
+        # expand JOB -> the slurm array task id inside the wrapper
+        cmdline = cmdline.replace(args.job_name, "${SLURM_ARRAY_TASK_ID}")
+        log = args.log.replace(args.job_name, "${SLURM_ARRAY_TASK_ID}")
+    else:
+        log = args.log
+    wrapper = (
+        "#!/usr/bin/env bash\n"
+        f"mkdir -p \"$(dirname {shlex.quote(log)})\"\n"
+        f"({cmdline}) > {log} 2>&1\n"
+    )
+    proc = subprocess.run(sbatch + ["--wrap", wrapper])
+    return proc.returncode
+
+
+def main(argv=None):
+    args = parse_args(argv if argv is not None else sys.argv[1:])
+    if args.backend == "slurm":
+        return run_slurm(args)
+    return run_local(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

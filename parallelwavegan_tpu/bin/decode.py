@@ -34,6 +34,8 @@ from parallelwavegan_tpu.utils.model import load_model
 def main():
     parser = argparse.ArgumentParser(description="Decode with a trained vocoder.")
     parser.add_argument("--feats-scp", "--scp", default=None, type=str)
+    parser.add_argument("--segments", default=None, type=str,
+                        help="kaldi-style segments file (VQ wav.scp decode)")
     parser.add_argument("--dumpdir", default=None, type=str)
     parser.add_argument("--outdir", type=str, required=True)
     parser.add_argument("--checkpoint", type=str, required=True)
@@ -251,7 +253,8 @@ def _decode_vqvae(args, config):
     else:
         assert not (use_local or use_global), \
             "scp decode does not carry local/global conditioning"
-        dataset = AudioSCPDataset(args.feats_scp, return_utt_id=True)
+        dataset = AudioSCPDataset(args.feats_scp, segments=args.segments,
+                                  return_utt_id=True)
     logging.info("The number of features to be decoded = %d.", len(dataset))
 
     model = get_model_class("VQVAE")(**config["generator_params"])

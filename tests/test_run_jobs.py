@@ -1,0 +1,65 @@
+"""Job-dispatcher contract (egs/utils/run_jobs.py, run.pl role equivalent)."""
+
+import os
+import subprocess
+import sys
+
+RUN_JOBS = os.path.join(
+    os.path.dirname(__file__), "..", "egs", "utils", "run_jobs.py"
+)
+
+
+def _run(args):
+    return subprocess.run(
+        [sys.executable, RUN_JOBS] + args, capture_output=True, text=True
+    )
+
+
+def test_single_job_logs_and_succeeds(tmp_path):
+    log = tmp_path / "x.log"
+    r = _run([str(log), "bash", "-c", "echo hello"])
+    assert r.returncode == 0
+    content = log.read_text()
+    assert "hello" in content
+    assert "# Started at" in content and "# Ended (code 0)" in content
+
+
+def test_array_job_substitutes_index(tmp_path):
+    r = _run([
+        "JOB=1:4", str(tmp_path / "job.JOB.log"),
+        "bash", "-c", "echo out-JOB",
+    ])
+    assert r.returncode == 0
+    for i in range(1, 5):
+        assert f"out-{i}" in (tmp_path / f"job.{i}.log").read_text()
+
+
+def test_failure_propagates_after_all_jobs(tmp_path):
+    r = _run([
+        "JOB=1:3", str(tmp_path / "j.JOB.log"),
+        "bash", "-c", "test JOB -ne 2 && echo ok-JOB",
+    ])
+    assert r.returncode == 1
+    # jobs 1 and 3 still ran to completion
+    assert "ok-1" in (tmp_path / "j.1.log").read_text()
+    assert "ok-3" in (tmp_path / "j.3.log").read_text()
+    assert "code 1" in (tmp_path / "j.2.log").read_text()
+    assert "j.2.log" in r.stderr
+
+
+def test_max_jobs_run_caps_concurrency(tmp_path):
+    # each job appends its start, waits for a beat, then appends its end;
+    # with --max-jobs-run 1 the markers must never interleave
+    marker = tmp_path / "marker"
+    script = (
+        f"echo start-JOB >> {marker}; sleep 0.3; echo end-JOB >> {marker}"
+    )
+    r = _run([
+        "--max-jobs-run", "1",
+        "JOB=1:3", str(tmp_path / "m.JOB.log"), "bash", "-c", script,
+    ])
+    assert r.returncode == 0
+    lines = marker.read_text().split()
+    for i in (1, 2, 3):
+        s, e = lines.index(f"start-{i}"), lines.index(f"end-{i}")
+        assert e == s + 1, lines  # no other job ran in between
