@@ -31,15 +31,26 @@ import numpy as np
 from scipy.signal import resample_poly
 
 
-def _nuttall(n: int) -> np.ndarray:
-    """Nuttall window (continuous first derivative variant, as in WORLD)."""
+import functools
+
+
+@functools.lru_cache(maxsize=512)
+def _nuttall_cached(n: int) -> np.ndarray:
     t = np.linspace(0.0, 1.0, n, endpoint=True)
-    return (
+    w = (
         0.355768
         - 0.487396 * np.cos(2 * np.pi * t)
         + 0.144232 * np.cos(4 * np.pi * t)
         - 0.012604 * np.cos(6 * np.pi * t)
     )
+    w.setflags(write=False)
+    return w
+
+
+def _nuttall(n: int) -> np.ndarray:
+    """Nuttall window (continuous first derivative variant); cached —
+    the refiner requests the same handful of lengths thousands of times."""
+    return _nuttall_cached(n)
 
 
 def _crossing_intervals(y: np.ndarray, fs: float, going_up: bool):
