@@ -139,6 +139,52 @@ def _vqvae_case():
     return config, batch, lambda tb: (tb["y"],)
 
 
+def _vqvae_local_global_case():
+    """Conditioned VQ: local 1x1-embed concat + global embedding gather
+    must shard like the rest of the step (the embed lookup is a gather
+    over a replicated table with a batch-sharded index)."""
+    rs = np.random.RandomState(7)
+    config = dict(BASE)
+    config.update(
+        generator_type="VQVAE",
+        use_local_condition=True,
+        use_global_condition=True,
+        generator_params={
+            "in_channels": 1,
+            "out_channels": 1,
+            "num_embeds": 16,
+            "embed_dim": 8,
+            "num_local_embeds": 2,
+            "local_embed_dim": 4,
+            "num_global_embeds": 4,
+            "global_embed_dim": 4,
+            "encoder_conf": {
+                "out_channels": 8,
+                "downsample_scales": [4, 4],
+                "channels": 8,
+                "max_downsample_channels": 16,
+            },
+            "decoder_conf": {
+                "in_channels": 16,  # embed 8 + local 4 + global 4
+                "upsample_scales": [4, 4],
+                "channels": 16,
+                "stacks": 1,
+            },
+        },
+        discriminator_type="ParallelWaveGANDiscriminator",
+        discriminator_params={"layers": 3, "conv_channels": 8},
+        lambda_commit=0.25,
+    )
+    lf0 = np.log(100 + 100 * rs.rand(8, 64, 1)).astype(np.float32)
+    vuv = (rs.rand(8, 64, 1) > 0.3).astype(np.float32)
+    batch = {
+        "y": rs.randn(8, 1024, 1).astype(np.float32),
+        "local": np.concatenate([lf0, vuv], axis=-1),
+        "global": rs.randint(0, 4, size=(8,)).astype(np.int32),
+    }
+    return config, batch, lambda tb: (tb["y"], tb["local"], tb["global"])
+
+
 def _discrete_duration_case():
     rs = np.random.RandomState(3)
     config = dict(BASE)
@@ -203,6 +249,7 @@ CASES = {
     "style_melgan": _style_melgan_case,
     "multiband_melgan": _multiband_melgan_case,
     "vqvae": _vqvae_case,
+    "vqvae_local_global": _vqvae_local_global_case,
     "discrete_duration": _discrete_duration_case,
     "uhifigan": _uhifigan_case,
 }
