@@ -6,6 +6,8 @@
 # duration-predicting generator.
 set -euo pipefail
 
+. ./cmd.sh
+
 stage=0
 stop_stage=3
 n_jobs=8
@@ -63,7 +65,8 @@ if [ "${stage}" -le 2 ] && [ "${stop_stage}" -ge 2 ]; then
     resume_opt=""
     [ -n "${resume}" ] && resume_opt="--resume ${resume}"
     # shellcheck disable=SC2086
-    python3 -m parallelwavegan_tpu.bin.train \
+    ${cuda_cmd} "${expdir}/train.log" \
+        python3 -m parallelwavegan_tpu.bin.train \
         --config "${conf}" \
         --train-dumpdir "${dumpdir}/${train_set}/raw" \
         --dev-dumpdir "${dumpdir}/${dev_set}/raw" \

@@ -6,6 +6,8 @@
 # data-parallel over all visible devices; no run.pl / launcher layer.
 set -euo pipefail
 
+. ./cmd.sh
+
 stage=-1
 stop_stage=4
 n_jobs=8
@@ -46,18 +48,16 @@ if [ "${stage}" -le 1 ] && [ "${stop_stage}" -ge 1 ]; then
     for name in "${train_set}" "${dev_set}" "${eval_set}"; do
         [ ! -e "${dumpdir}/${name}/raw" ] && mkdir -p "${dumpdir}/${name}/raw"
         ../../utils/make_subset_data.sh "data/${name}" "${n_jobs}" "${dumpdir}/${name}/raw"
-        for i in $(seq 1 "${n_jobs}"); do
-            seg_opt=""
-            [ -e "${dumpdir}/${name}/raw/${i}/segments" ] && \
-                seg_opt="--segments ${dumpdir}/${name}/raw/${i}/segments"
-            # shellcheck disable=SC2086
+        seg_opt=""
+        [ -e "${dumpdir}/${name}/raw/1/segments" ] && \
+            seg_opt="--segments ${dumpdir}/${name}/raw/JOB/segments"
+        # shellcheck disable=SC2086
+        ${train_cmd} "JOB=1:${n_jobs}" "${dumpdir}/${name}/raw/preprocessing.JOB.log" \
             python3 -m parallelwavegan_tpu.bin.preprocess \
                 --config "${conf}" \
-                --wav-scp "${dumpdir}/${name}/raw/${i}/wav.scp" ${seg_opt} \
-                --dumpdir "${dumpdir}/${name}/raw/dump.${i}" \
-                --verbose 0 &
-        done
-        wait
+                --wav-scp "${dumpdir}/${name}/raw/JOB/wav.scp" ${seg_opt} \
+                --dumpdir "${dumpdir}/${name}/raw/dump.JOB" \
+                --verbose 0
     done
     echo "Stage 1b: Statistics computation"
     python3 -m parallelwavegan_tpu.bin.compute_statistics \
@@ -89,7 +89,8 @@ if [ "${stage}" -le 2 ] && [ "${stop_stage}" -ge 2 ]; then
     resume_opt=""
     [ -n "${resume}" ] && resume_opt="--resume ${resume}"
     # shellcheck disable=SC2086
-    python3 -m parallelwavegan_tpu.bin.train \
+    ${cuda_cmd} "${expdir}/train.log" \
+        python3 -m parallelwavegan_tpu.bin.train \
         --config "${conf}" \
         --train-dumpdir "${dumpdir}/${train_set}/norm" \
         --dev-dumpdir "${dumpdir}/${dev_set}/norm" \

@@ -5,6 +5,8 @@
 # per-speaker stats. Stage flow otherwise matches template_single_spk.
 set -euo pipefail
 
+. ./cmd.sh
+
 stage=0
 stop_stage=4
 n_jobs=8
@@ -34,16 +36,14 @@ if [ "${stage}" -le 1 ] && [ "${stop_stage}" -ge 1 ]; then
     for name in "${train_set}" "${dev_set}" "${eval_set}"; do
         mkdir -p "${dumpdir}/${name}/raw"
         ../../utils/make_subset_data.sh "data/${name}" "${n_jobs}" "${dumpdir}/${name}/raw"
-        for i in $(seq 1 "${n_jobs}"); do
+        ${train_cmd} "JOB=1:${n_jobs}" "${dumpdir}/${name}/raw/preprocessing.JOB.log" \
             python3 -m parallelwavegan_tpu.bin.preprocess \
                 --config "${conf}" \
-                --wav-scp "${dumpdir}/${name}/raw/${i}/wav.scp" \
+                --wav-scp "${dumpdir}/${name}/raw/JOB/wav.scp" \
                 --utt2spk "data/${name}/utt2spk" \
                 --spk2idx "data/spk2idx" \
-                --dumpdir "${dumpdir}/${name}/raw/dump.${i}" \
-                --verbose 0 &
-        done
-        wait
+                --dumpdir "${dumpdir}/${name}/raw/dump.JOB" \
+                --verbose 0
     done
     python3 -m parallelwavegan_tpu.bin.compute_statistics \
         --config "${conf}" --rootdir "${dumpdir}/${train_set}/raw" \
@@ -69,7 +69,8 @@ if [ "${stage}" -le 2 ] && [ "${stop_stage}" -ge 2 ]; then
     resume_opt=""
     [ -n "${resume}" ] && resume_opt="--resume ${resume}"
     # shellcheck disable=SC2086
-    python3 -m parallelwavegan_tpu.bin.train \
+    ${cuda_cmd} "${expdir}/train.log" \
+        python3 -m parallelwavegan_tpu.bin.train \
         --config "${conf}" \
         --train-dumpdir "${dumpdir}/${train_set}/norm" \
         --dev-dumpdir "${dumpdir}/${dev_set}/norm" \

@@ -5,6 +5,8 @@
 # decode with discrete-symbol dump in stage 3.
 set -euo pipefail
 
+. ./cmd.sh
+
 stage=-1
 stop_stage=3
 n_jobs=8
@@ -45,17 +47,15 @@ if [ "${stage}" -le 1 ] && [ "${stop_stage}" -ge 1 ]; then
     for name in "${train_set}" "${dev_set}" "${eval_set}"; do
         mkdir -p "${dumpdir}/${name}/raw"
         ../../utils/make_subset_data.sh "data/${name}" "${n_jobs}" "${dumpdir}/${name}/raw"
-        for i in $(seq 1 "${n_jobs}"); do
-            # shellcheck disable=SC2086
+        # shellcheck disable=SC2086
+        ${train_cmd} "JOB=1:${n_jobs}" "${dumpdir}/${name}/raw/preprocessing.JOB.log" \
             python3 -m parallelwavegan_tpu.bin.preprocess \
                 --config "${conf}" \
-                --wav-scp "${dumpdir}/${name}/raw/${i}/wav.scp" \
+                --wav-scp "${dumpdir}/${name}/raw/JOB/wav.scp" \
                 --utt2spk "data/${name}/utt2spk" \
                 --spk2idx "data/spk2idx" \
-                --dumpdir "${dumpdir}/${name}/raw/dump.${i}" \
-                --skip-mel-ext ${extra_opts} --verbose 0 &
-        done
-        wait
+                --dumpdir "${dumpdir}/${name}/raw/dump.JOB" \
+                --skip-mel-ext ${extra_opts} --verbose 0
     done
 
     if [ "${use_local_condition}" = "true" ]; then
@@ -68,16 +68,13 @@ if [ "${stage}" -le 1 ] && [ "${stop_stage}" -ge 1 ]; then
             --dumpdir "${dumpdir}/${train_set}" \
             --target-feats local --verbose 0
         for name in "${train_set}" "${dev_set}" "${eval_set}"; do
-            for i in $(seq 1 "${n_jobs}"); do
-                mkdir -p "${dumpdir}/${name}/norm/dump.${i}"
+            ${train_cmd} "JOB=1:${n_jobs}" "${dumpdir}/${name}/norm/normalize.JOB.log" \
                 python3 -m parallelwavegan_tpu.bin.normalize \
                     --config "${conf}" \
                     --stats "${dumpdir}/${train_set}/stats.h5" \
-                    --rootdir "${dumpdir}/${name}/raw/dump.${i}" \
-                    --dumpdir "${dumpdir}/${name}/norm/dump.${i}" \
-                    --target-feats local --verbose 0 &
-            done
-            wait
+                    --rootdir "${dumpdir}/${name}/raw/dump.JOB" \
+                    --dumpdir "${dumpdir}/${name}/norm/dump.JOB" \
+                    --target-feats local --verbose 0
         done
     fi
 fi
@@ -97,7 +94,8 @@ if [ "${stage}" -le 2 ] && [ "${stop_stage}" -ge 2 ]; then
     resume_opt=""
     [ -n "${resume}" ] && resume_opt="--resume ${resume}"
     # shellcheck disable=SC2086
-    python3 -m parallelwavegan_tpu.bin.train \
+    ${cuda_cmd} "${expdir}/train.log" \
+        python3 -m parallelwavegan_tpu.bin.train \
         --config "${conf}" \
         --train-dumpdir "${dumpdir}/${train_set}/${featdir_suffix}" \
         --dev-dumpdir "${dumpdir}/${dev_set}/${featdir_suffix}" \
