@@ -64,6 +64,12 @@ def main():
                         help="chunked decode: fixed-shape jit programs and "
                              "O(chunk) device memory for unbounded lengths "
                              "(HiFiGAN/MelGAN/PWG families)")
+    parser.add_argument("--sharded", default=False, action="store_true",
+                        help="shard decode over all visible devices: each "
+                             "utterance's time axis is split across the "
+                             "mesh (bit-equal to one-shot decode); with "
+                             "--batch-size >1 the batch is mesh-sharded "
+                             "instead")
     parser.add_argument("--chunk-frames", type=int, default=256)
     parser.add_argument("--context-frames", type=int, default=64)
     parser.add_argument("--verbose", type=int, default=1)
@@ -145,8 +151,16 @@ def main():
     os.makedirs(args.outdir, exist_ok=True)
     fs = config["sampling_rate"]
 
+    mesh = None
+    if args.sharded:
+        from parallelwavegan_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+        logging.info("Sharded decode over %d devices.",
+                     int(np.prod(list(mesh.shape.values()))))
+
     if args.batch_size > 1 and not args.use_f0_and_excitation:
-        return _decode_batched(args, model, dataset, fs)
+        return _decode_batched(args, model, dataset, fs, mesh=mesh)
 
     total_rtf = 0.0
     pbar = tqdm(range(len(dataset)))
@@ -166,6 +180,11 @@ def main():
                 context_frames=args.context_frames,
                 normalize_before=args.normalize_before,
             )
+        elif mesh is not None:
+            y = model.inference_sharded(
+                c, mesh, context_frames=args.context_frames,
+                normalize_before=args.normalize_before,
+            )
         else:
             y = model.inference(c, normalize_before=args.normalize_before)
         y = np.asarray(y)[:, 0]
@@ -180,7 +199,7 @@ def main():
     )
 
 
-def _decode_batched(args, model, dataset, fs):
+def _decode_batched(args, model, dataset, fs, mesh=None):
     """Length-bucketed batched decode: N utterances per jitted forward."""
     items = [(item[0], np.asarray(item[1])) for item in
              (dataset[i] for i in range(len(dataset)))]
@@ -191,7 +210,8 @@ def _decode_batched(args, model, dataset, fs):
         group = items[s : s + args.batch_size]
         start = time.time()
         ys = model.inference_batch(
-            [c for _, c in group], normalize_before=args.normalize_before)
+            [c for _, c in group], normalize_before=args.normalize_before,
+            mesh=mesh)
         elapsed = time.time() - start
         audio = sum(len(y) for y in ys) / fs
         total_time += elapsed

@@ -320,6 +320,95 @@ class InferenceModel:
             collect(*pending)
         return y
 
+    # -- temporal-sharded decode ------------------------------------------
+    def inference_sharded(self, c, mesh, context_frames: int = 64,
+                          normalize_before: bool = False, rng=None):
+        """Decode ONE utterance with its time axis sharded over a mesh.
+
+        A multi-chip capability the reference cannot express (its decode is
+        single-GPU per utterance, bin/decode.py:214-234): the mel is cut
+        into one window per device — each window carries
+        ``context_frames`` of true neighbor context (halo) on each side,
+        materialized host-side since mel frames are tiny — and all windows
+        run as ONE mesh-sharded XLA program, so a single long utterance
+        decodes ~n_devices times faster over ICI.
+
+        Exactness contract matches ``inference_streaming``: the first/last
+        windows are pinned to the true utterance edges so the model's own
+        edge padding applies exactly as in the one-shot forward; with
+        ``context_frames`` covering the receptive field the reassembled
+        waveform equals ``inference()`` bit-for-bit. Only time-local
+        generators are supported (see ``_STREAMABLE``).
+        """
+        if self.generator_type not in self._STREAMABLE:
+            raise ValueError(
+                f"{self.generator_type} is not shardable in time "
+                "(global-in-time ops or input-length expansion)"
+            )
+        c = np.asarray(c, dtype=np.float32)
+        if normalize_before:
+            assert self.mean is not None, "stats are not registered"
+            c = (c - self.mean) / self.scale
+        # mirror the one-shot path's bucket padding (edge-replicated mel,
+        # output trimmed) so the result equals inference() for ANY length
+        t_orig = c.shape[0]
+        t = -(-t_orig // self.bucket) * self.bucket
+        c = np.pad(c, ((0, t - t_orig), (0, 0)), mode="edge")
+        n_dev = int(np.prod(list(mesh.shape.values())))
+        ctx = context_frames
+        # bucket-align the per-device chunk so utterance lengths share
+        # compiled programs (same role as the bucketed one-shot path)
+        chunk = -(-t // n_dev)
+        chunk = -(-chunk // self.bucket) * self.bucket
+        win = chunk + 2 * ctx
+        if n_dev == 1 or t < win + chunk:
+            # too short to profit from temporal sharding
+            return self.inference(
+                c[:t_orig], normalize_before=False, rng=rng)
+        up = self._upsample_factor()
+        rng = rng if rng is not None else jax.random.key(
+            np.random.randint(2**31))
+        use_noise = self.generator_type == "ParallelWaveGANGenerator"
+        z_all = (np.asarray(jax.random.normal(rng, (t * up,)))
+                 if use_noise else None)
+
+        # one window per device: (input_lo, valid_lo, valid_hi); interior
+        # windows center the valid region; edge windows pin to the true
+        # utterance boundary (right-clamped when valid_hi+ctx would
+        # overrun, which also gives the last ragged chunk full context)
+        windows = []
+        for i in range(n_dev):
+            vlo = min(i * chunk, t)
+            vhi = min(vlo + chunk, t)
+            lo = 0 if i == 0 else min(vlo - ctx, t - win)
+            windows.append((lo, vlo, vhi))
+
+        batch = np.stack([c[lo : lo + win] for lo, _, _ in windows])
+        z = (np.stack([z_all[lo * up : (lo + win) * up]
+                       for lo, _, _ in windows])
+             if use_noise else np.zeros((n_dev, 0), np.float32))
+
+        key = ("sharded", n_dev, win)
+        if key not in self._jit_cache:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            axis = list(mesh.shape.keys())[0]
+            shard = NamedSharding(mesh, P(axis))
+            self._jit_cache[key] = jax.jit(
+                jax.vmap(self._forward_fn()),
+                in_shardings=(shard, shard), out_shardings=shard,
+            )
+        y = np.asarray(jax.device_get(
+            self._jit_cache[key](jnp.asarray(batch), jnp.asarray(z))
+        ))
+        out = np.empty((t * up,) + self._out_shape_tail(), dtype=np.float32)
+        for i, (lo, vlo, vhi) in enumerate(windows):
+            if vhi <= vlo:
+                continue
+            off = (vlo - lo) * up
+            out[vlo * up : vhi * up] = y[i, off : off + (vhi - vlo) * up]
+        return out[: t_orig * up]
+
     def _compiled_stream(self, frames: int):
         key = ("stream", frames)
         if key not in self._jit_cache:
