@@ -34,6 +34,9 @@ import sys
 import time
 
 
+_DISPATCH_OPTS = ("--max-jobs-run", "--backend", "--gpu", "--mem", "--time")
+
+
 def parse_args(argv):
     parser = argparse.ArgumentParser(
         description="Run (arrays of) jobs with per-job logs.",
@@ -44,8 +47,23 @@ def parse_args(argv):
     parser.add_argument("--gpu", type=int, default=0)
     parser.add_argument("--mem", default=None)
     parser.add_argument("--time", default=None)
-    # everything after the options: [JOB=a:b] <log> <command...>
-    args, rest = parser.parse_known_args(argv)
+    # dispatcher options are taken ONLY from the prefix before the
+    # JOB=/log positionals (run.pl semantics) — a '--gpu' etc. appearing
+    # inside the wrapped command belongs to that command, not to us
+    i = 0
+    head = []
+    while i < len(argv):
+        tok = argv[i]
+        if tok in _DISPATCH_OPTS and i + 1 < len(argv):
+            head += argv[i : i + 2]
+            i += 2
+        elif tok.split("=", 1)[0] in _DISPATCH_OPTS:
+            head.append(tok)
+            i += 1
+        else:
+            break
+    args = parser.parse_args(head)
+    rest = list(argv[i:])
     if not rest:
         parser.error("missing <log> <command>")
     job_range = None
@@ -123,7 +141,15 @@ def run_slurm(args):
         sbatch.append(f"--mem={args.mem}")
     if args.time:
         sbatch.append(f"--time={args.time}")
-    cmdline = " ".join(shlex.quote(c) for c in args.command)
+    # double-quote (not shlex single-quote) so the SLURM_ARRAY_TASK_ID
+    # substitution below still expands inside quoted arguments
+    def dq(s):
+        body = (s.replace("\\", "\\\\").replace('"', '\\"')
+                 .replace("$", "\\$").replace("`", "\\`"))
+        return f'"{body}"'
+
+    cmdline = " ".join(dq(c) for c in args.command)
+    log = dq(args.log)
     if args.job_range is not None:
         lo, hi = args.job_range
         spec = f"--array={lo}-{hi}"
@@ -132,12 +158,10 @@ def run_slurm(args):
         sbatch.append(spec)
         # expand JOB -> the slurm array task id inside the wrapper
         cmdline = cmdline.replace(args.job_name, "${SLURM_ARRAY_TASK_ID}")
-        log = args.log.replace(args.job_name, "${SLURM_ARRAY_TASK_ID}")
-    else:
-        log = args.log
+        log = log.replace(args.job_name, "${SLURM_ARRAY_TASK_ID}")
     wrapper = (
         "#!/usr/bin/env bash\n"
-        f"mkdir -p \"$(dirname {shlex.quote(log)})\"\n"
+        f"mkdir -p \"$(dirname {log})\"\n"
         f"({cmdline}) > {log} 2>&1\n"
     )
     proc = subprocess.run(sbatch + ["--wrap", wrapper])

@@ -93,6 +93,9 @@ def main():
         raise ValueError("Please specify either --dumpdir or --feats-scp.")
 
     if config.get("generator_type") == "VQVAE":
+        from parallelwavegan_tpu.utils.config import validate_local_condition
+
+        validate_local_condition(config)
         return _decode_vqvae(args, config)
 
     if args.use_f0_and_excitation is None:

@@ -190,14 +190,12 @@ def main():
             if local is None:
                 logging.warning(f"{utt_id}: all frames unvoiced; skipped.")
                 continue
-            # sync audio to the local frame grid (reference :410-417)
-            if len(audio) > len(local) * hop_size:
-                audio = audio[: len(local) * hop_size]
-            elif len(audio) < len(local) * hop_size:
-                audio = np.pad(
-                    audio, (0, len(local) * hop_size - len(audio)),
-                    mode="edge",
-                )
+            # audio is already on the mel frame grid (len(mel)*hop above)
+            # and the F0 track shares that grid, so wave/local stay in sync
+            assert len(local) * hop_size == len(audio), (
+                f"{utt_id}: local grid {len(local)} != "
+                f"{len(audio) // hop_size} frames"
+            )
         if config.get("generator_type") == "UHiFiGANGenerator":
             from parallelwavegan_tpu.ops.f0 import extract_f0_and_excitation
 

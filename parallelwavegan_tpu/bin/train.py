@@ -35,6 +35,7 @@ from parallelwavegan_tpu.models import get_model_class
 from parallelwavegan_tpu.optimizers import build_optimizer_from_config
 from parallelwavegan_tpu.train import Trainer
 from parallelwavegan_tpu.train.criterion import build_criterion
+from parallelwavegan_tpu.utils.config import validate_local_condition
 from parallelwavegan_tpu.train.state import init_train_state
 from parallelwavegan_tpu.utils.io import read_hdf5
 
@@ -195,6 +196,7 @@ def main():
         config = yaml.load(f, Loader=yaml.SafeLoader)
     config.update(vars(args))
     config["version"] = parallelwavegan_tpu.__version__
+    validate_local_condition(config)
 
     if config.get("distributed", False):
         # must run before ANYTHING initializes the XLA backend (including

@@ -146,7 +146,14 @@ class Collater:
     # ------------------------------------------------------------------
     def _collate_vq(self, batch, rng) -> dict:
         if self.use_local_condition:
-            items = [b for b in batch if len(b[1]) >= self.mel_threshold]
+            # strict >: a boundary-length item leaves rng.integers with an
+            # empty range (same contract as the mel2wav filter above)
+            items = [b for b in batch if len(b[1]) > self.mel_threshold]
+            if not items:
+                raise ValueError(
+                    "no utterance in the batch is longer than "
+                    f"mel_threshold={self.mel_threshold} frames"
+                )
             items = [
                 self._adjust_length(b[0], b[1]) + tuple(b[2:]) for b in items
             ]
@@ -175,9 +182,14 @@ class Collater:
             return out
 
         if self.use_global_condition:
-            items = [b for b in batch if len(b[0]) >= self.audio_threshold]
+            items = [b for b in batch if len(b[0]) > self.audio_threshold]
         else:
-            items = [(b,) for b in batch if len(b) >= self.audio_threshold]
+            items = [(b,) for b in batch if len(b) > self.audio_threshold]
+        if not items:
+            raise ValueError(
+                "no utterance in the batch is longer than "
+                f"audio_threshold={self.audio_threshold} samples"
+            )
         y_lengths = [len(b[0]) for b in items]
         y_starts = np.array(
             [

@@ -347,7 +347,10 @@ def harvest_f0(
     """
     audio = np.asarray(audio, dtype=np.float64)
     n_frames = max(1, 1 + (len(audio) - 1) // hop_size)
-    f0_floor = max(f0_floor, 3.0 * target_fs / max(len(audio), 1))
+    # raise the floor so >=3 periods fit the signal (at the TRUE fs: using
+    # the decimation target here under-raised the floor and the guard
+    # below then rejected short high-fs utterances that fit many periods)
+    f0_floor = max(f0_floor, 3.0 * fs / max(len(audio), 1))
     if len(audio) < int(3 * fs / f0_floor) or f0_floor >= f0_ceil:
         return np.zeros(n_frames, dtype=np.float32)
 

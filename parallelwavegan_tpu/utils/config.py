@@ -27,6 +27,34 @@ def merge_args(config: dict, args, exclude: tuple = ("config",)) -> dict:
     return merged
 
 
+def validate_local_condition(config: dict) -> None:
+    """Fail fast when local conditioning can't align with the latent grid.
+
+    A local-conditioned VQ-VAE concatenates hop_size-grid features onto
+    the encoder latent (stride = prod(encoder downsample_scales)); a
+    mismatch only surfaces as an opaque concat shape error deep inside
+    jit, so check it at config load instead.
+    """
+    if not config.get("use_local_condition", False):
+        return
+    if "VQVAE" not in config.get("generator_type", ""):
+        return
+    gp = config.get("generator_params", {})
+    enc = gp.get("encoder_conf") or {}
+    scales = enc.get("downsample_scales", [4, 4, 2, 2])
+    stride = 1
+    for s in scales:
+        stride *= int(s)
+    hop = config.get("hop_size")
+    if hop != stride:
+        raise ValueError(
+            f"use_local_condition requires hop_size == "
+            f"prod(encoder downsample_scales): hop_size={hop}, "
+            f"encoder stride={stride} ({list(scales)}) — the local "
+            f"features and the VQ latent would sit on different grids"
+        )
+
+
 def dump_config(config: dict, outdir: str, name: str = "config.yml") -> str:
     os.makedirs(outdir, exist_ok=True)
     path = os.path.join(outdir, name)

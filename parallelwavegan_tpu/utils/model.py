@@ -380,7 +380,10 @@ class InferenceModel:
         for i in range(n_dev):
             vlo = min(i * chunk, t)
             vhi = min(vlo + chunk, t)
-            lo = 0 if i == 0 else min(vlo - ctx, t - win)
+            # clamp into [0, t - win]: a clamped window reaches the true
+            # utterance edge, so the valid region still sees complete
+            # context (exactness preserved even when chunk < ctx)
+            lo = max(0, min(vlo - ctx, t - win))
             windows.append((lo, vlo, vhi))
 
         batch = np.stack([c[lo : lo + win] for lo, _, _ in windows])

@@ -177,3 +177,15 @@ def test_logf0_and_vuv_all_unvoiced_returns_none():
     rng = np.random.RandomState(0)
     assert logf0_and_vuv(rng.randn(FS) * 0.1, FS, 64) is None
     assert logf0_and_vuv(np.zeros(FS), FS, 64) is None
+
+
+def test_short_high_fs_utterance_stays_voiced():
+    """The >=3-periods floor raise must use the TRUE fs: a 40 ms 150 Hz
+    tone at 24 kHz fits 6 periods and must not come back all-unvoiced."""
+    fs, hop = 24000, 64
+    t = np.arange(int(0.04 * fs)) / fs
+    x = np.sin(2 * np.pi * 150.0 * t).astype(np.float64)
+    f0 = harvest_f0(x, fs, hop)
+    voiced = f0[f0 > 0]
+    assert len(voiced) > 0
+    np.testing.assert_allclose(np.median(voiced), 150.0, rtol=0.05)

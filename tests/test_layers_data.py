@@ -220,6 +220,32 @@ def test_loader_deterministic_across_num_workers():
             np.testing.assert_array_equal(b1[k], b4[k])
 
 
+def test_collater_vq_local_boundary_length_filtered():
+    """A local-conditioned item whose length EQUALS the threshold must be
+    dropped (strict >), not crash rng.integers with an empty range."""
+    col = Collater(batch_max_steps=640, hop_size=64, aux_context_window=0,
+                   use_aux_input=False, use_local_condition=True,
+                   rng=np.random.default_rng(0))
+    rs = np.random.RandomState(0)
+    long_item = (rs.randn(20 * 64).astype(np.float32),
+                 rs.randn(20, 2).astype(np.float32))
+    boundary = (rs.randn(10 * 64).astype(np.float32),
+                rs.randn(10, 2).astype(np.float32))  # == mel_threshold
+    batch = col([long_item, boundary])
+    assert batch["y"].shape == (1, 640, 1)
+    assert batch["local"].shape == (1, 10, 2)
+
+
+def test_collater_vq_all_short_raises_explicitly():
+    col = Collater(batch_max_steps=640, hop_size=64, aux_context_window=0,
+                   use_aux_input=False, use_local_condition=False,
+                   rng=np.random.default_rng(0))
+    import pytest
+
+    with pytest.raises(ValueError, match="audio_threshold"):
+        col([np.zeros(640, np.float32)])  # length == threshold: filtered
+
+
 # -------------------------------------------------------------- checkpoint
 
 

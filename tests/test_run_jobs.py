@@ -63,3 +63,51 @@ def test_max_jobs_run_caps_concurrency(tmp_path):
     for i in (1, 2, 3):
         s, e = lines.index(f"start-{i}"), lines.index(f"end-{i}")
         assert e == s + 1, lines  # no other job ran in between
+
+
+def test_command_flags_are_not_stolen(tmp_path):
+    """Dispatcher options are only parsed from the prefix before the
+    JOB=/log positionals — a --gpu/--mem/--time inside the wrapped
+    command belongs to that command."""
+    log = tmp_path / "flags.log"
+    r = _run([
+        str(log), "bash", "-c", 'echo "args: $0 $1 $2"', "--gpu", "2",
+    ])
+    assert r.returncode == 0
+    assert "args: --gpu 2" in log.read_text()
+
+
+def test_slurm_wrapper_expands_job_inside_quoted_args(tmp_path, monkeypatch):
+    """JOB substitution must survive shell quoting of arguments with
+    spaces (slurm.pl semantics: every array task gets its own path)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("run_jobs", RUN_JOBS)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    captured = {}
+
+    def fake_run(cmd, **kw):
+        captured["cmd"] = cmd
+
+        class R:
+            returncode = 0
+
+        return R()
+
+    monkeypatch.setattr(mod.subprocess, "run", fake_run)
+    rc = mod.main([
+        "--backend", "slurm", "--gpu", "1",
+        "JOB=1:4", str(tmp_path / "out dir" / "log.JOB"),
+        "bash", "-c", "touch 'dump dir/JOB.done'",
+    ])
+    assert rc == 0
+    wrapper = captured["cmd"][-1]
+    assert "--gres=gpu:1" in captured["cmd"]
+    assert "--array=1-4" in " ".join(captured["cmd"])
+    # the array-task id must expand inside BOTH the quoted command arg
+    # and the quoted log path (double quotes, not shlex single quotes)
+    assert "dump dir/${SLURM_ARRAY_TASK_ID}.done" in wrapper
+    assert "out dir/log.${SLURM_ARRAY_TASK_ID}" in wrapper
+    assert "'${SLURM_ARRAY_TASK_ID}'" not in wrapper

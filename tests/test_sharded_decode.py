@@ -92,6 +92,21 @@ def test_sharded_pwg_noise_consistency():
     np.testing.assert_array_equal(out, ref)
 
 
+def test_sharded_chunk_smaller_than_context():
+    """chunk < context_frames (mid-length utterance, many devices): edge
+    windows clamp into [0, t-win] — which pins them to a true utterance
+    edge, so exactness is preserved rather than crashing np.stack."""
+    import jax.numpy as jnp
+
+    model = _build("HiFiGANGenerator", HIFIGAN_PARAMS, (jnp.zeros((1, 32, 8)),))
+    mesh = make_mesh()
+    c = np.random.RandomState(3).randn(200, 8).astype(np.float32)
+    ref = np.asarray(model.inference(c))
+    out = model.inference_sharded(c, mesh, context_frames=64)
+    assert out.shape == ref.shape
+    np.testing.assert_array_equal(out, ref)
+
+
 def test_sharded_short_utterance_falls_back():
     import jax.numpy as jnp
 
