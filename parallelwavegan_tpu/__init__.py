@@ -36,12 +36,15 @@ def _enable_persistent_compilation_cache() -> None:
     try:
         import jax
 
+        if jax.config.jax_compilation_cache_dir is not None:
+            return  # user already configured a cache programmatically
         jax.config.update(
             "jax_compilation_cache_dir",
             os.path.expanduser("~/.cache/jax_compilation"),
         )
-        # cache every program, not just slow-to-compile ones
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        # cache aggressively, but skip sub-second trivial compiles so the
+        # cache dir doesn't accumulate thousands of tiny CI/test programs
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception:  # pragma: no cover - cache is an optimization only
         pass

@@ -114,25 +114,26 @@ def main():
         else:
             raise ValueError("Support only hdf5 or npy format.")
         if args.use_f0_and_excitation:
-            if fmt == "hdf5":
-                dataset = MelF0ExcitationDataset(
-                    args.dumpdir, mel_query=mel_query, mel_load_fn=mel_load_fn,
-                    return_utt_id=True,
-                )
-            else:
-                dataset = MelF0ExcitationDataset(
-                    args.dumpdir, mel_query=mel_query, mel_load_fn=mel_load_fn,
-                    f0_query="*-f0.npy", f0_load_fn=np.load,
-                    excitation_query="*-excitation.npy",
-                    excitation_load_fn=np.load,
-                    return_utt_id=True,
-                )
+            extra = {} if fmt == "hdf5" else dict(
+                f0_query="*-f0.npy", f0_load_fn=np.load,
+                excitation_query="*-excitation.npy",
+                excitation_load_fn=np.load,
+            )
+            dataset = MelF0ExcitationDataset(
+                args.dumpdir, mel_query=mel_query, mel_load_fn=mel_load_fn,
+                return_utt_id=True, **extra,
+            )
         else:
             dataset = MelDataset(
                 args.dumpdir, mel_query=mel_query, mel_load_fn=mel_load_fn,
                 return_utt_id=True,
             )
     else:
+        if args.use_f0_and_excitation:
+            raise NotImplementedError(
+                "scp decode does not carry f0/excitation features "
+                "(UHiFiGAN needs --dumpdir; same restriction as normalize)"
+            )
         dataset = MelSCPDataset(args.feats_scp, return_utt_id=True)
     logging.info("The number of features to be decoded = %d.", len(dataset))
 

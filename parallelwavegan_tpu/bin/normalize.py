@@ -68,28 +68,21 @@ def main():
         else:
             raise ValueError("support only hdf5 or npy format.")
         if use_f0_and_excitation:
-            if fmt == "hdf5":
-                dataset = AudioMelF0ExcitationDataset(
-                    args.rootdir,
-                    audio_query=audio_query,
-                    audio_load_fn=audio_load_fn,
-                    mel_query=mel_query,
-                    mel_load_fn=mel_load_fn,
-                    return_utt_id=True,
-                )
-            else:
-                dataset = AudioMelF0ExcitationDataset(
-                    args.rootdir,
-                    audio_query=audio_query,
-                    audio_load_fn=audio_load_fn,
-                    mel_query=mel_query,
-                    mel_load_fn=mel_load_fn,
-                    f0_query="*-f0.npy",
-                    f0_load_fn=np.load,
-                    excitation_query="*-excitation.npy",
-                    excitation_load_fn=np.load,
-                    return_utt_id=True,
-                )
+            extra = {} if fmt == "hdf5" else dict(
+                f0_query="*-f0.npy",
+                f0_load_fn=np.load,
+                excitation_query="*-excitation.npy",
+                excitation_load_fn=np.load,
+            )
+            dataset = AudioMelF0ExcitationDataset(
+                args.rootdir,
+                audio_query=audio_query,
+                audio_load_fn=audio_load_fn,
+                mel_query=mel_query,
+                mel_load_fn=mel_load_fn,
+                return_utt_id=True,
+                **extra,
+            )
         else:
             gq, gl = None, None
             if use_global:

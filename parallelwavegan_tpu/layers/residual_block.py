@@ -64,7 +64,10 @@ class WaveNetResidualBlock(nn.Module):
                  collect_weights: bool = False):
         if collect_weights:
             return self.collect_weights(x, c)
-        if self.use_pallas and c is not None and self.use_bias:
+        from parallelwavegan_tpu.ops.pallas_kernels import pallas_backend_ok
+
+        if (self.use_pallas and c is not None and self.use_bias
+                and pallas_backend_ok()):
             return self._fused(x, c, deterministic)
         residual = x
         if self.dropout > 0.0:

@@ -99,6 +99,8 @@ class _DiscreteHiFiGANTrunk(nn.Module):
         num_blocks = len(self.resblock_kernel_sizes)
         n_up = len(self.upsample_scales)
         tail_from = None
+        from parallelwavegan_tpu.ops.pallas_kernels import pallas_backend_ok
+
         if (
             self.use_pallas_tail
             and self.use_additional_convs
@@ -107,6 +109,7 @@ class _DiscreteHiFiGANTrunk(nn.Module):
             and self.nonlinear_activation == "LeakyReLU"
             and n_up >= 2
             and all(s == 2 for s in self.upsample_scales[-2:])
+            and pallas_backend_ok()
         ):
             c_tail = self.channels // (2 ** (n_up - 2))
             if c_tail <= 128 and (c_tail & (c_tail - 1)) == 0:

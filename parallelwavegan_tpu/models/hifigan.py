@@ -110,6 +110,8 @@ class HiFiGANGenerator(nn.Module):
 
         n_up = len(self.upsample_scales)
         tail_from = None
+        from parallelwavegan_tpu.ops.pallas_kernels import pallas_backend_ok
+
         if (
             self.use_pallas_tail
             and not self.use_causal_conv
@@ -119,6 +121,7 @@ class HiFiGANGenerator(nn.Module):
             and self.nonlinear_activation == "LeakyReLU"
             and n_up >= 2
             and all(s == 2 for s in self.upsample_scales[-2:])
+            and pallas_backend_ok()
         ):
             c_tail = self.channels // (2 ** (n_up - 2))
             # packed lanes are conserved only when the tail entry channel
@@ -202,6 +205,7 @@ class HiFiGANGenerator(nn.Module):
                 and self.use_additional_convs
                 and self.bias
                 and ch <= self.pallas_mrf_max_channels
+                and pallas_backend_ok()
             ):
                 from parallelwavegan_tpu.ops.pallas_kernels.hifigan_mrf import (
                     fused_hifigan_mrf,

@@ -137,11 +137,14 @@ class ParallelWaveGANGenerator(nn.Module):
             )
             for layer in range(self.layers)
         ]
+        from parallelwavegan_tpu.ops.pallas_kernels import pallas_backend_ok
+
         if (
             (self.use_pallas_stack or self.use_pallas_stack_train)
             and c is not None
             and not self.use_causal_conv
             and self.dropout == 0.0
+            and pallas_backend_ok()
         ):
             # whole-cycle fused path: stack every block's effective
             # weights (identical param tree) and run one dilation cycle per

@@ -55,22 +55,32 @@ def build_lr_schedule(
         eta_min = params.get("eta_min", 0.0)
         return optax.cosine_decay_schedule(base_lr, t_max, alpha=eta_min / base_lr)
     if scheduler_type == "CosineAnnealingWarmRestarts":
-        t_0 = params["T_0"]
-        t_mult = params.get("T_mult", 1)
-        eta_min = params.get("eta_min", 0.0)
-        if t_mult != 1:
-            # geometric restart lengths: enumerate enough cycles up front
-            lengths = []
-            t = t_0
-            while sum(lengths) < 10_000_000:
-                lengths.append(t)
-                t *= t_mult
-        else:
-            lengths = [t_0] * 64
-        return optax.sgdr_schedule([
-            dict(init_value=base_lr, peak_value=base_lr, end_value=eta_min,
-                 warmup_steps=0, decay_steps=n) for n in lengths
-        ])
+        t_0 = float(params["T_0"])
+        t_mult = float(params.get("T_mult", 1))
+        eta_min = float(params.get("eta_min", 0.0))
+
+        # closed form of torch's restart bookkeeping — restarts forever
+        # (an enumerated-cycles sgdr_schedule clamps to eta_min once the
+        # pre-built list runs out)
+        def sched(step):
+            import jax.numpy as jnp
+
+            s = jnp.asarray(step, jnp.float32)
+            if t_mult == 1.0:
+                t_i = t_0
+                t_cur = jnp.mod(s, t_0)
+            else:
+                n = jnp.floor(
+                    jnp.log(s * (t_mult - 1.0) / t_0 + 1.0)
+                    / jnp.log(t_mult)
+                )
+                t_i = t_0 * t_mult**n
+                t_cur = s - t_0 * (t_mult**n - 1.0) / (t_mult - 1.0)
+            return eta_min + (base_lr - eta_min) * 0.5 * (
+                1.0 + jnp.cos(jnp.pi * t_cur / t_i)
+            )
+
+        return sched
     if scheduler_type == "LinearLR":
         start = params.get("start_factor", 1.0 / 3.0)
         end = params.get("end_factor", 1.0)
@@ -115,10 +125,15 @@ def build_optimizer(
     lr = p.pop("lr", 1e-3)
     schedule = build_lr_schedule(lr, scheduler_type, scheduler_params)
     betas = p.pop("betas", (0.9, 0.999))
-    eps = p.pop("eps", 1e-8)
+    # None = "not configured": each branch substitutes ITS torch default
+    # (1e-8 adam-family, 1e-10 Adagrad, 1e-6 Adadelta) so an explicit
+    # eps: 1e-8 is honored everywhere
+    eps_cfg = p.pop("eps", None)
+    eps = 1e-8 if eps_cfg is None else eps_cfg
     weight_decay = p.pop("weight_decay", 0.0)
     amsgrad = p.pop("amsgrad", False)
-    p.pop("momentum", None) if optimizer_type != "SGD" else None
+    if optimizer_type not in ("SGD", "RMSprop"):
+        p.pop("momentum", None)
 
     if optimizer_type in ("Adam", "AdamW"):
         if amsgrad:
@@ -163,12 +178,12 @@ def build_optimizer(
         opt = optax.adagrad(
             schedule,
             initial_accumulator_value=p.pop("initial_accumulator_value", 0.0),
-            eps=eps if eps != 1e-8 else 1e-10,
+            eps=1e-10 if eps_cfg is None else eps_cfg,
         )
     elif optimizer_type == "Adadelta":
         opt = optax.adadelta(
             schedule, rho=p.pop("rho", 0.9),
-            eps=eps if eps != 1e-8 else 1e-6,
+            eps=1e-6 if eps_cfg is None else eps_cfg,
         )
     elif optimizer_type == "Lamb":
         opt = optax.lamb(

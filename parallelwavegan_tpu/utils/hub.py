@@ -139,16 +139,27 @@ def _download_gdrive(file_id: str, output_path: str, opener=None):
                     f"&id={file_id}&confirm={token}"
                 )
                 continue
-            m = re.search(r'action="([^"]+)"', body)
-            fields = dict(
-                re.findall(
-                    r'<input[^>]+name="([^"]+)"[^>]+value="([^"]*)"', body
-                )
+            m = re.search(r'<form[^>]*\baction="([^"]*)"', body) or re.search(
+                r'\baction="([^"]+)"', body
             )
+            # per-tag parse: attribute order varies and value may be absent
+            fields = {}
+            for tag in re.findall(r"<input[^>]*>", body):
+                nm = re.search(r'\bname="([^"]*)"', tag)
+                if nm is None:
+                    continue
+                vm = re.search(r'\bvalue="([^"]*)"', tag)
+                fields[html.unescape(nm.group(1))] = html.unescape(
+                    vm.group(1) if vm else ""
+                )
             if m and fields:
-                url = html.unescape(m.group(1))
-                sep = "&" if "?" in url else "?"
-                url = url + sep + urllib.parse.urlencode(fields)
+                action = html.unescape(m.group(1))
+                # the action may be relative to the interstitial page
+                base = (getattr(resp, "geturl", lambda: "")()
+                        or "https://drive.google.com/")
+                action = urllib.parse.urljoin(base, action)
+                sep = "&" if "?" in action else "?"
+                url = action + sep + urllib.parse.urlencode(fields)
                 continue
             raise RuntimeError(
                 "Google Drive returned an interstitial without a confirm "

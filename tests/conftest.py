@@ -11,6 +11,9 @@ import os
 
 os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 os.environ["JAX_PLATFORMS"] = "cpu"
+# module-level use_pallas_* flags fall back to XLA off-TPU; the kernel
+# equivalence tests deliberately exercise interpret mode on CPU
+os.environ["PALLAS_INTERPRET_OK"] = "1"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "--xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (

@@ -137,3 +137,29 @@ def test_tail_flag_falls_back_when_unsupported():
     params = G.init(jax.random.key(0), c)
     y = G.apply(params, c)  # channels 24 -> tail entry 6: not pow2 -> XLA
     assert y.shape == (1, 24 * 64, 1)
+
+
+def test_pallas_flags_fall_back_off_tpu(monkeypatch):
+    """Shipped configs carry use_pallas_* flags; off-TPU (no interpret
+    override) the module must silently use the XLA path and still produce
+    the identical waveform."""
+    from parallelwavegan_tpu.ops.pallas_kernels import pallas_backend_ok
+
+    monkeypatch.delenv("PALLAS_INTERPRET_OK", raising=False)
+    assert not pallas_backend_ok()  # CPU backend in tests
+
+    cls = get_model_class("HiFiGANGenerator")
+    common = dict(
+        in_channels=6, out_channels=1, channels=32, kernel_size=7,
+        upsample_scales=(4, 4, 2, 2), upsample_kernel_sizes=(8, 8, 4, 4),
+        resblock_kernel_sizes=(3, 7, 11),
+        resblock_dilations=((1, 3, 5), (1, 3, 5), (1, 3, 5)),
+    )
+    G0 = cls(**common)
+    G1 = cls(**common, use_pallas_tail=True, use_pallas_mrf=True)
+    c = jnp.asarray(np.random.RandomState(0).randn(1, 16, common["in_channels"]),
+                    jnp.float32)
+    v = G0.init(jax.random.key(0), c)
+    y0 = G0.apply(v, c)
+    y1 = G1.apply(v, c)  # same param tree: fused path is cosmetic
+    np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))

@@ -178,3 +178,34 @@ def test_download_pretrained_model_extracts(tmp_path, monkeypatch):
     assert ckpt.endswith("checkpoint-400000steps.pkl")
     with open(ckpt, "rb") as f:
         assert f.read() == b"fake-checkpoint"
+
+
+def test_form_confirm_flow_reversed_attrs_and_relative_action(tmp_path):
+    """Markup variants gdown tolerates: value-before-name attribute order,
+    value-less inputs, and a RELATIVE form action."""
+    payload = b"PAYLOADDATA"
+    pages = [
+        _FakeResponse(
+            b'<html><form id="download-form" action="/download" method="get">'
+            b'<input type="hidden" value="FILEID" name="id">'
+            b'<input type="hidden" name="confirm">'
+            b'<input type="hidden" value="t" name="export">'
+            b"</form></html>",
+            "text/html; charset=utf-8",
+        ),
+        _FakeResponse(payload, "application/gzip"),
+    ]
+    seen = []
+
+    class Opener:
+        cookiejar = ()
+
+        def open(self, url):
+            seen.append(url)
+            return pages.pop(0)
+
+    out = tmp_path / "model.tar.gz"
+    _download_gdrive("FILEID", str(out), opener=Opener())
+    assert out.read_bytes() == payload
+    assert seen[1].startswith("https://drive.google.com/download?")
+    assert "id=FILEID" in seen[1] and "confirm=" in seen[1]
