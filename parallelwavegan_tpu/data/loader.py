@@ -78,6 +78,25 @@ class DataLoader:
             np.random.default_rng(self.seed + epoch).shuffle(idx)
         return idx[self.shard_index :: self.num_shards]
 
+    @staticmethod
+    def _top_up(batch: dict, target: int) -> dict:
+        """Repeat rows so every batch keeps the STATIC batch size.
+
+        With ``remove_short_samples: false`` the Collater drops items
+        shorter than the crop at batch time; a varying leading dim forces
+        a jit recompile per distinct B and desynchronizes multi-host
+        lockstep (different hosts drop different counts). Row repetition
+        keeps shapes static; the weighting bias is O(1/B), comparable to
+        the reference's smaller-batch mean.
+        """
+        if not isinstance(batch, dict) or not batch:
+            return batch  # custom collaters may return other structures
+        b = len(next(iter(batch.values())))
+        if b == target:
+            return batch
+        idx = np.resize(np.arange(b), target)
+        return {k: np.asarray(v)[idx] for k, v in batch.items()}
+
     def epoch_batches(self, epoch: int):
         """Yield the batches of one epoch (no prefetch; for eval loops)."""
         idx = self._epoch_indices(epoch)
@@ -89,7 +108,7 @@ class DataLoader:
                 items = list(self._pool.map(self.dataset.__getitem__, rows))
             else:
                 items = [self.dataset[j] for j in rows]
-            yield self.collater(items)
+            yield self._top_up(self.collater(items), len(rows))
 
     @property
     def batches_per_epoch(self) -> int:
@@ -128,9 +147,17 @@ class DataLoader:
     def _build_batch(self, seq, rows):
         items = [self.dataset[j] for j in rows]
         if self._collater_takes_rng:
-            # per-batch child generator: thread-safe + seed-deterministic
-            return self.collater(items, np.random.default_rng((self.seed, seq)))
-        return self.collater(items)
+            # per-batch child generator: thread-safe + seed-deterministic;
+            # shard_index in the key so hosts draw INDEPENDENT crop/noise
+            # streams (same (seed, seq) on every host would duplicate the
+            # noise tensor across the global batch's shards)
+            batch = self.collater(
+                items,
+                np.random.default_rng((self.seed, self.shard_index, seq)),
+            )
+        else:
+            batch = self.collater(items)
+        return self._top_up(batch, len(rows))
 
     def __iter__(self):
         """Infinite prefetched batch stream (training).

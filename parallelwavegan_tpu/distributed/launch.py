@@ -65,11 +65,37 @@ def main():
             cmd = [sys.executable, args.training_script] + args.training_script_args
         procs.append(subprocess.Popen(cmd, env=env))
 
-    failed = 0
-    for p in procs:
-        failed |= p.wait()
-    if failed:
-        raise subprocess.CalledProcessError(failed, "distributed launch")
+    # poll all children: a rank that dies before the jax.distributed
+    # rendezvous leaves its peers blocked in collectives forever, so the
+    # first nonzero exit terminates the rest and fails fast (the
+    # reference launcher has the same hang, launch.py:168-171 — waiting
+    # sequentially is not a behavior worth keeping)
+    import time
+
+    first_bad = None
+    try:
+        while procs:
+            for p in list(procs):
+                rc = p.poll()
+                if rc is None:
+                    continue
+                procs.remove(p)
+                if rc != 0 and first_bad is None:
+                    first_bad = rc
+            if first_bad is not None:
+                break
+            time.sleep(0.2)
+    finally:
+        if first_bad is not None:
+            for p in procs:
+                p.terminate()
+            for p in procs:
+                try:
+                    p.wait(timeout=10)
+                except subprocess.TimeoutExpired:
+                    p.kill()
+    if first_bad is not None:
+        raise subprocess.CalledProcessError(first_bad, "distributed launch")
 
 
 if __name__ == "__main__":

@@ -109,6 +109,11 @@ class _DiscreteHiFiGANTrunk(nn.Module):
             and self.nonlinear_activation == "LeakyReLU"
             and n_up >= 2
             and all(s == 2 for s in self.upsample_scales[-2:])
+            # the kernel's shift table assumes seq_out = seq*s, which the
+            # trunk's (K-s)//2 deconv padding only gives for K == 2s
+            # (hifigan.py asserts the same; e.g. K=5,s=2 -> 2T+1 samples)
+            and all(self.upsample_kernel_sizes[i] == 2 * self.upsample_scales[i]
+                    for i in (n_up - 2, n_up - 1))
             and pallas_backend_ok()
         ):
             c_tail = self.channels // (2 ** (n_up - 2))

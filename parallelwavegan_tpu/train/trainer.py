@@ -241,6 +241,14 @@ class Trainer:
         # collectives inside eval_step stay in lockstep
         limit = self.dev_loader.min_batches_across_shards
         if limit == 0:
+            if self.is_rank0 and not getattr(self, "_warned_no_eval", False):
+                self._warned_no_eval = True
+                logging.warning(
+                    "(Steps: %d) dev set too small for one batch per host "
+                    "(need >= num_hosts * batch_size/num_hosts usable "
+                    "utterances); evaluation is SKIPPED for this run.",
+                    self.steps,
+                )
             return
         if self.is_rank0:
             logging.info("(Steps: %d) Start evaluation.", self.steps)

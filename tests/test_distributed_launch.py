@@ -131,3 +131,25 @@ def test_two_process_cpu_training(tmp_path):
     assert "Finished training (4 steps)" in log
     assert "Start evaluation" in log  # the sharded eval actually ran
     assert os.path.exists(tmp_path / "exp" / "checkpoint-4steps.pkl")
+
+
+def test_launcher_fails_fast_when_one_rank_dies(tmp_path):
+    """A rank dying before the jax.distributed rendezvous must terminate
+    the peers and surface its exit code — not hang in p.wait() while the
+    survivors block in collectives."""
+    child = tmp_path / "child.py"
+    child.write_text(
+        "import os, sys, time\n"
+        "if os.environ.get('JAX_PROCESS_ID') == '1':\n"
+        "    sys.exit(3)\n"
+        "time.sleep(600)\n"
+    )
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    r = subprocess.run(
+        [sys.executable, "-m", "parallelwavegan_tpu.distributed.launch",
+         "--nproc_per_node", "2", "--backend", "cpu", str(child)],
+        env=env, capture_output=True, text=True, timeout=60,
+    )
+    assert r.returncode != 0
+    assert "exit status 3" in r.stderr

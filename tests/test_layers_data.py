@@ -281,3 +281,51 @@ def test_checkpoint_save_load_roundtrip(tmp_path):
     g, vars_g, steps = load_generator_params(path)
     assert steps == 7
     np.testing.assert_array_equal(np.asarray(g["w"]), np.arange(4.0))
+
+
+def test_loader_tops_up_dropped_items_to_static_batch():
+    """remove_short_samples=false leaves short items to the Collater; the
+    loader must still yield the STATIC batch size (varying B breaks
+    multi-host lockstep and forces jit recompiles)."""
+    rs = np.random.RandomState(0)
+    items = _items(3, frames=24) + [
+        (np.zeros(4 * 64, np.float32), np.zeros((4, 6), np.float32))
+    ]
+
+    class DS:
+        def __len__(self):
+            return len(items)
+
+        def __getitem__(self, i):
+            return items[i]
+
+    col = Collater(batch_max_steps=512, hop_size=64, aux_context_window=0,
+                   rng=np.random.default_rng(0))
+    loader = DataLoader(DS(), col, batch_size=4, shuffle=False, seed=0)
+    batch = next(iter(loader))
+    assert batch["y"].shape[0] == 4  # short item dropped, batch topped up
+    eval_batch = next(iter(loader.epoch_batches(0)))
+    assert eval_batch["y"].shape[0] == 4
+
+
+def test_loader_shards_draw_independent_rng_streams():
+    """Multi-host: each shard's collater rng must differ (same (seed,seq)
+    on every host would duplicate noise/crops across the global batch)."""
+    items = _items(8, frames=24)
+
+    class DS:
+        def __len__(self):
+            return len(items)
+
+        def __getitem__(self, i):
+            return items[i]
+
+    batches = []
+    for shard in (0, 1):
+        col = Collater(batch_max_steps=512, hop_size=64,
+                       aux_context_window=0, use_noise_input=True,
+                       rng=np.random.default_rng(0))
+        loader = DataLoader(DS(), col, batch_size=2, shuffle=False, seed=0,
+                            shard_index=shard, num_shards=2)
+        batches.append(next(iter(loader)))
+    assert not np.array_equal(batches[0]["z"], batches[1]["z"])
