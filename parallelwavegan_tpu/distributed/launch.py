@@ -19,6 +19,20 @@ import subprocess
 import sys
 
 
+def _repo_root_pythonpath() -> str:
+    """PYTHONPATH that makes ``parallelwavegan_tpu`` importable in children.
+
+    Training scripts are launched by *file path* (torch.distributed.launch
+    interface), so the child's sys.path[0] is the script's directory — not
+    the repo root this launcher was imported from. Prepend our own package
+    root so the child resolves the same installation."""
+    root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    existing = os.environ.get("PYTHONPATH")
+    return root + (os.pathsep + existing if existing else "")
+
+
 def main():
     parser = argparse.ArgumentParser(description="Distributed launch shim.")
     parser.add_argument("--nproc_per_node", type=int, default=1)
@@ -42,6 +56,7 @@ def main():
             cmd = [args.training_script] + args.training_script_args
         else:
             cmd = [sys.executable, args.training_script] + args.training_script_args
+            os.environ["PYTHONPATH"] = _repo_root_pythonpath()
         os.execvp(cmd[0], cmd)
 
     world = args.nproc_per_node * args.nnodes
@@ -59,6 +74,8 @@ def main():
             JAX_NUM_PROCESSES=str(world),
             JAX_PROCESS_ID=str(rank),
         )
+        if not args.use_env_cmd:
+            env["PYTHONPATH"] = _repo_root_pythonpath()
         if args.use_env_cmd:
             cmd = [args.training_script] + args.training_script_args
         else:

@@ -189,77 +189,19 @@ class _DiscreteHiFiGANTrunk(nn.Module):
         return jnp.tanh(c)
 
     def _fused_tail(self, c, tail_from: int, norm, kinit, num_blocks: int):
-        """Fused last-two-stages + output conv (mirrors
-        HiFiGANGenerator._fused_tail; trunk deconv padding (K-scale)//2).
-        The preceding stage's MRF folds in at the entry rate when the
-        kernel is entered post-deconv (tail_pre path)."""
-        from parallelwavegan_tpu.ops.pallas_kernels.hifigan_tail import (
-            fused_hifigan_tail,
+        """Fused last-two-stages + output conv; trunk deconv padding is
+        (K-scale)//2 with output_padding 0 (vs HiFiGANGenerator's
+        scale//2+scale%2 — identical where the gates allow K == 2s). The
+        preceding stage's MRF folds in at the entry rate when the kernel
+        is entered post-deconv (tail_pre path)."""
+        from parallelwavegan_tpu.models.hifigan import (
+            collect_and_run_fused_tail,
         )
 
-        n_up = len(self.upsample_scales)
-        slope = (
-            self.nonlinear_activation_params or {"negative_slope": 0.1}
-        ).get("negative_slope", 0.1)
-
-        def collect_blocks(j, chj, dummy):
-            return [
-                HiFiGANResidualBlock(
-                    kernel_size=self.resblock_kernel_sizes[jj],
-                    channels=chj,
-                    dilations=self.resblock_dilations[jj],
-                    use_bias=self.bias,
-                    use_additional_convs=self.use_additional_convs,
-                    nonlinear_activation=self.nonlinear_activation,
-                    nonlinear_activation_params=self.nonlinear_activation_params
-                    or {"negative_slope": 0.1},
-                    norm=norm,
-                    name=f"blocks_{j * num_blocks + jj}",
-                )(dummy, collect_weights=True)
-                for jj in range(num_blocks)
-            ]
-
-        pre_blocks = None
-        if tail_from >= 1:
-            j = tail_from - 1
-            chp = self.channels // (2 ** (j + 1))
-            pre_blocks = collect_blocks(
-                j, chp, jnp.zeros(c.shape[:2] + (chp,), c.dtype)
-            )
-        stages = []
-        dummy_in = c
-        for j in range(tail_from, n_up):
-            scale = self.upsample_scales[j]
-            k = self.upsample_kernel_sizes[j]
-            chj = self.channels // (2 ** (j + 1))
-            dw, db = ConvTranspose1d(
-                features=chj,
-                kernel_size=k,
-                stride=scale,
-                padding=(k - scale) // 2,
-                output_padding=0,
-                norm=norm,
-                kernel_init=kinit,
-                name=f"upsamples_{j}",
-            )(dummy_in, return_params=True)
-            dummy = jnp.zeros(c.shape[:2] + (chj,), c.dtype)
-            stages.append({
-                "deconv_w": dw, "deconv_b": db, "stride": scale,
-                "padding": (k - scale) // 2,
-                "blocks": collect_blocks(j, chj, dummy),
-            })
-            dummy_in = dummy
-        fw, fb = Conv1d(
-            features=self.out_channels,
-            kernel_size=self.kernel_size,
-            padding="same",
-            norm=norm,
-            kernel_init=kinit,
-            name="output_conv",
-        )(dummy_in, return_params=True)
-        return fused_hifigan_tail(
-            c, stages, fw, fb, slope=slope, t_tile=self.pallas_tail_tile,
-            pre_blocks=pre_blocks,
+        return collect_and_run_fused_tail(
+            self, c, tail_from, norm, kinit, num_blocks,
+            pre=tail_from >= 1,
+            deconv_pad=lambda k, s: ((k - s) // 2, 0),
         )
 
 

@@ -36,6 +36,94 @@ from parallelwavegan_tpu.layers.residual_block import HiFiGANResidualBlock
 Array = jax.Array
 
 
+def collect_and_run_fused_tail(mdl, c, tail_from: int, norm, kinit,
+                               num_blocks: int, *, pre: bool, deconv_pad):
+    """Shared fused-decode-tail collector for HiFiGAN-shaped generators.
+
+    Walks the same flax submodules (by name) as the standard layer-by-layer
+    path so the param tree is identical, gathers their effective weights
+    with ``collect_weights=True`` / ``return_params=True``, and hands them
+    to the fused Pallas tail kernel. ``deconv_pad(k, s)`` returns the
+    trunk's ``(padding, output_padding)`` convention — HiFiGANGenerator
+    uses ``(s//2 + s%2, s%2)``, the discrete trunk ``((k-s)//2, 0)``; the
+    fused gates require ``k == 2s`` where both coincide. With ``pre``,
+    ``c`` is the post-deconv input of stage ``tail_from - 1`` and that
+    stage's MRF folds into the kernel at the entry rate.
+
+    Called from inside the generator's ``@nn.compact __call__`` — flax's
+    dynamic module context attaches the submodules created here to the
+    calling generator.
+    """
+    from parallelwavegan_tpu.ops.pallas_kernels.hifigan_tail import (
+        fused_hifigan_tail,
+    )
+
+    n_up = len(mdl.upsample_scales)
+    act_params = mdl.nonlinear_activation_params or {"negative_slope": 0.1}
+    slope = act_params.get("negative_slope", 0.1)
+
+    def collect_blocks(j, chj, dummy):
+        return [
+            HiFiGANResidualBlock(
+                kernel_size=mdl.resblock_kernel_sizes[jj],
+                channels=chj,
+                dilations=mdl.resblock_dilations[jj],
+                use_bias=mdl.bias,
+                use_additional_convs=mdl.use_additional_convs,
+                nonlinear_activation=mdl.nonlinear_activation,
+                nonlinear_activation_params=act_params,
+                norm=norm,
+                name=f"blocks_{j * num_blocks + jj}",
+            )(dummy, collect_weights=True)
+            for jj in range(num_blocks)
+        ]
+
+    pre_blocks = None
+    if pre:
+        j = tail_from - 1
+        chp = mdl.channels // (2 ** (j + 1))
+        pre_blocks = collect_blocks(
+            j, chp, jnp.zeros(c.shape[:2] + (chp,), c.dtype)
+        )
+    stages = []
+    dummy_in = c
+    for j in range(tail_from, n_up):
+        scale = mdl.upsample_scales[j]
+        k = mdl.upsample_kernel_sizes[j]
+        chj = mdl.channels // (2 ** (j + 1))
+        pad, outpad = deconv_pad(k, scale)
+        dw, db = ConvTranspose1d(
+            features=chj,
+            kernel_size=k,
+            stride=scale,
+            padding=pad,
+            output_padding=outpad,
+            use_bias=mdl.bias,
+            norm=norm,
+            kernel_init=kinit,
+            name=f"upsamples_{j}",
+        )(dummy_in, return_params=True)
+        dummy = jnp.zeros(c.shape[:2] + (chj,), c.dtype)
+        stages.append({
+            "deconv_w": dw, "deconv_b": db, "stride": scale,
+            "padding": pad, "blocks": collect_blocks(j, chj, dummy),
+        })
+        dummy_in = dummy
+    fw, fb = Conv1d(
+        features=mdl.out_channels,
+        kernel_size=mdl.kernel_size,
+        padding="same",
+        use_bias=mdl.bias,
+        norm=norm,
+        kernel_init=kinit,
+        name="output_conv",
+    )(dummy_in, return_params=True)
+    return fused_hifigan_tail(
+        c, stages, fw, fb, slope=slope, t_tile=mdl.pallas_tail_tile,
+        pre_blocks=pre_blocks,
+    )
+
+
 def _norm_of(use_weight_norm: bool, use_spectral_norm: bool = False) -> str | None:
     if use_weight_norm and use_spectral_norm:
         raise ValueError("Either use use_weight_norm or use_spectral_norm.")
@@ -259,85 +347,9 @@ class HiFiGANGenerator(nn.Module):
         kernel (ops/pallas_kernels/hifigan_tail.py). With ``pre``, c is
         the post-deconv input of stage tail_from-1 and that stage's MRF
         runs inside the kernel at the entry rate."""
-        from parallelwavegan_tpu.ops.pallas_kernels.hifigan_tail import (
-            fused_hifigan_tail,
-        )
-
-        n_up = len(self.upsample_scales)
-        slope = (
-            self.nonlinear_activation_params or {"negative_slope": 0.1}
-        ).get("negative_slope", 0.1)
-        pre_blocks = None
-        if pre:
-            j = tail_from - 1
-            chp = self.channels // (2 ** (j + 1))
-            dummy = jnp.zeros(c.shape[:2] + (chp,), c.dtype)
-            pre_blocks = [
-                HiFiGANResidualBlock(
-                    kernel_size=self.resblock_kernel_sizes[jj],
-                    channels=chp,
-                    dilations=self.resblock_dilations[jj],
-                    use_bias=self.bias,
-                    use_additional_convs=self.use_additional_convs,
-                    nonlinear_activation=self.nonlinear_activation,
-                    nonlinear_activation_params=self.nonlinear_activation_params
-                    or {"negative_slope": 0.1},
-                    use_causal_conv=self.use_causal_conv,
-                    norm=norm,
-                    name=f"blocks_{j * num_blocks + jj}",
-                )(dummy, collect_weights=True)
-                for jj in range(num_blocks)
-            ]
-        stages = []
-        dummy_in = c
-        for j in range(tail_from, n_up):
-            scale = self.upsample_scales[j]
-            chj = self.channels // (2 ** (j + 1))
-            dw, db = ConvTranspose1d(
-                features=chj,
-                kernel_size=self.upsample_kernel_sizes[j],
-                stride=scale,
-                padding=scale // 2 + scale % 2,
-                output_padding=scale % 2,
-                use_bias=self.bias,
-                norm=norm,
-                kernel_init=kinit,
-                name=f"upsamples_{j}",
-            )(dummy_in, return_params=True)
-            dummy = jnp.zeros(c.shape[:2] + (chj,), c.dtype)
-            blocks_w = [
-                HiFiGANResidualBlock(
-                    kernel_size=self.resblock_kernel_sizes[jj],
-                    channels=chj,
-                    dilations=self.resblock_dilations[jj],
-                    use_bias=self.bias,
-                    use_additional_convs=self.use_additional_convs,
-                    nonlinear_activation=self.nonlinear_activation,
-                    nonlinear_activation_params=self.nonlinear_activation_params
-                    or {"negative_slope": 0.1},
-                    use_causal_conv=self.use_causal_conv,
-                    norm=norm,
-                    name=f"blocks_{j * num_blocks + jj}",
-                )(dummy, collect_weights=True)
-                for jj in range(num_blocks)
-            ]
-            stages.append({
-                "deconv_w": dw, "deconv_b": db, "stride": scale,
-                "padding": scale // 2 + scale % 2, "blocks": blocks_w,
-            })
-            dummy_in = dummy
-        fw, fb = Conv1d(
-            features=self.out_channels,
-            kernel_size=self.kernel_size,
-            padding="same",
-            use_bias=self.bias,
-            norm=norm,
-            kernel_init=kinit,
-            name="output_conv",
-        )(dummy_in, return_params=True)
-        return fused_hifigan_tail(
-            c, stages, fw, fb, slope=slope, t_tile=self.pallas_tail_tile,
-            pre_blocks=pre_blocks,
+        return collect_and_run_fused_tail(
+            self, c, tail_from, norm, kinit, num_blocks, pre=pre,
+            deconv_pad=lambda k, s: (s // 2 + s % 2, s % 2),
         )
 
     # --- metadata used by trainer/decoder wiring -------------------------

@@ -287,20 +287,17 @@ def _pack_conv_weights(w, b, d: int, p: int, c0p: int):
     The true channel count C may be < c0p (lane padding); blocks are laid
     out at c0p strides so packed lane j*c0p+ci addresses phase j channel ci.
     """
-    k, c, _ = w.shape
-    table = _conv_shift_table(k, d, p)
+    from parallelwavegan_tpu.ops.pallas_kernels.packing import (
+        pack_block_bias,
+        pack_block_weights,
+    )
+
+    table = _conv_shift_table(k=w.shape[0], d=d, p=p)
     lanes = p * c0p
-    mats = {}
-    for s, entries in table.items():
-        m = jnp.zeros((lanes, lanes), w.dtype)
-        for j_in, j_out, kk in entries:
-            m = m.at[
-                j_in * c0p : j_in * c0p + c, j_out * c0p : j_out * c0p + c
-            ].set(w[kk])
-        mats[s] = m
-    bias = jnp.zeros((lanes,), b.dtype)
-    for j in range(p):
-        bias = bias.at[j * c0p : j * c0p + c].set(b)
+    # one static-index gather materialises all shift matrices (packing.py)
+    stacked = pack_block_weights(table.values(), w, c0p, c0p, lanes=lanes)
+    mats = {s: stacked[i] for i, s in enumerate(table)}
+    bias = pack_block_bias(b, p, c0p, lanes=lanes)
     return mats, bias
 
 

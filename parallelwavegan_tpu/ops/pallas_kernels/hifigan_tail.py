@@ -34,6 +34,10 @@ from parallelwavegan_tpu.ops.pallas_kernels.hifigan_mrf import (
     _round_up,
     hifigan_mrf_xla,
 )
+from parallelwavegan_tpu.ops.pallas_kernels.packing import (
+    pack_block_bias,
+    pack_block_weights,
+)
 
 LANES = 128
 
@@ -62,26 +66,16 @@ def _deconv_shift_table(k: int, s: int, pad: int, p_in: int):
 
 
 def _pack_weight(entries_by_shift, w, c0p_in: int, c0p_out: int):
-    """taps (K, Cin, Cout) -> per-shift (128, 128) block matrices."""
-    _, cin, cout = w.shape
-    mats = []
-    for entries in entries_by_shift.values():
-        m = jnp.zeros((LANES, LANES), w.dtype)
-        for j_in, j_out, kk in entries:
-            m = m.at[
-                j_in * c0p_in : j_in * c0p_in + cin,
-                j_out * c0p_out : j_out * c0p_out + cout,
-            ].set(w[kk])
-        mats.append(m)
-    return jnp.stack(mats)
+    """taps (K, Cin, Cout) -> per-shift (128, 128) block matrices
+    (single static-index gather; see packing.py)."""
+    return pack_block_weights(
+        entries_by_shift.values(), w, c0p_in, c0p_out, lanes=LANES
+    )
 
 
 def _pack_bias(b, p_out: int, c0p_out: int):
-    cout = b.shape[0]
-    out = jnp.zeros((LANES,), jnp.float32)
-    for j in range(p_out):
-        out = out.at[j * c0p_out : j * c0p_out + cout].set(b)
-    return out
+    return pack_block_bias(b.astype(jnp.float32), p_out, c0p_out,
+                           lanes=LANES)
 
 
 # --------------------------------------------------------------------------
