@@ -67,16 +67,21 @@ def build(config, on_tpu: bool):
     pqmf = PQMF(subbands=out_ch) if out_ch > 1 else None
 
     def make_inputs(frames, rng):
-        c = jnp.asarray(rng.randn(1, frames, gp.get("aux_channels", gp.get(
-            "in_channels", 80)) if gtype == "ParallelWaveGANGenerator"
-            else gp.get("in_channels", 80)), jnp.float32)
+        # Mel conditioning width: StyleMelGAN/PWG condition on aux_channels
+        # (in_channels is their noise dim); MelGAN/HiFiGAN take mels as
+        # in_channels directly.
+        if gtype in ("ParallelWaveGANGenerator", "StyleMelGANGenerator"):
+            mel_ch = gp.get("aux_channels", 80)
+        else:
+            mel_ch = gp.get("in_channels", 80)
+        c = jnp.asarray(rng.randn(1, frames, mel_ch), jnp.float32)
         if gtype == "ParallelWaveGANGenerator":
             win = gp.get("aux_context_window", 2)
             c = jnp.pad(c, ((0, 0), (win, win), (0, 0)), mode="edge")
             up = int(np.prod(config["generator_params"].get(
                 "upsample_params", {}).get("upsample_scales", [4, 4, 4, 4])))
             z = jnp.asarray(rng.randn(1, frames * up, 1), jnp.float32)
-            return (z, c)
+            return (z, c), frames
         if gtype == "StyleMelGANGenerator":
             nuf = gen.noise_upsample_factor
             noise_len = -(-frames // nuf)
@@ -85,8 +90,10 @@ def build(config, on_tpu: bool):
                 jnp.float32)
             c = c[:, : noise_len * nuf, :] if frames >= noise_len * nuf else \
                 jnp.pad(c, ((0, 0), (0, noise_len * nuf - frames), (0, 0)))
-            return (c, z)
-        return (c,)
+            # the timed call synthesizes noise_len*nuf frames of audio, not
+            # `frames` — return the real length so RTF is not overstated
+            return (c, z), noise_len * nuf
+        return (c,), frames
 
     def forward(params, inputs):
         y = gen.apply(params, *inputs)
@@ -108,7 +115,7 @@ def measure(name, conf_file, ref_rtf, frames: int, iters: int):
     gen, make_inputs, forward = build(config, on_tpu)
 
     rng = np.random.RandomState(0)
-    inputs = make_inputs(frames, rng)
+    inputs, eff_frames = make_inputs(frames, rng)
     params = jax.jit(gen.init)(jax.random.key(0), *inputs)
 
     @jax.jit
@@ -124,7 +131,7 @@ def measure(name, conf_file, ref_rtf, frames: int, iters: int):
     float(jax.device_get(run(params, inputs)))
     per_call = (time.perf_counter() - start) / iters
 
-    audio_seconds = frames * hop / fs
+    audio_seconds = eff_frames * hop / fs
     rtf = per_call / audio_seconds
     print(json.dumps({
         "family": name,

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 
@@ -50,9 +51,13 @@ def pack_block_weights(entries_by_mat, w, c0p_in: int, c0p_out: int,
     wp = jnp.pad(
         w.astype(jnp.float32), ((0, 0), (0, c0p_in - cin), (0, c0p_out - cout))
     )
+    # precision=HIGHEST keeps the one-hot contraction lossless on TPU:
+    # preferred_element_type only fixes the accumulator dtype, and default
+    # MXU precision would round the inputs to bf16 (~2e-3 relative).
     packed = jnp.einsum(
         "siok,kab->siaob", jnp.asarray(sel), wp,
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     return packed.reshape(n, lanes, lanes).astype(w.dtype)
 

@@ -236,20 +236,29 @@ def build_train_step(
                 )
                 gen_loss = (gen_loss + aux_loss) * criterion.lambda_aux
 
+                vars_d_after = vars_d
                 if g_sees_d:
-                    p_, _ = dis_forward(params_d, vars_d, y_full, rng_gd, False)
+                    # update_vars=True: torch runs the spectral-norm power
+                    # iteration on EVERY train-mode D forward, including
+                    # these G-phase passes (train.py:265-276) — the updated
+                    # (u, v) estimates are threaded out through the aux
+                    p_, vars_d_after = dis_forward(
+                        params_d, vars_d, y_full, rng_gd, True
+                    )
                     adv_loss = criterion.gen_adv(p_)
                     m["adversarial_loss"] = adv_loss
                     if criterion.use_feat_match_loss:
-                        p, _ = dis_forward(params_d, vars_d, y, rng_gd, False)
+                        p, vars_d_after = dis_forward(
+                            params_d, vars_d_after, y, rng_gd, True
+                        )
                         fm_loss = criterion.feat_match(p_, p)
                         m["feature_matching_loss"] = fm_loss
                         adv_loss = adv_loss + criterion.lambda_feat_match * fm_loss
                     gen_loss = gen_loss + criterion.lambda_adv * adv_loss
                 m["generator_loss"] = gen_loss
-                return gen_loss, (m, y_full)
+                return gen_loss, (m, y_full, vars_d_after)
 
-            (_, (g_metrics, y_gen)), grads = jax.value_and_grad(
+            (_, (g_metrics, y_gen, vars_d)), grads = jax.value_and_grad(
                 g_loss_fn, has_aux=True
             )(params_g)
             updates, opt_g = opt_g_tx.update(grads, opt_g, params_g)

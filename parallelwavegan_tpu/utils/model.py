@@ -239,10 +239,15 @@ class InferenceModel:
 
         A new capability over the reference (SURVEY.md §5 "long-context"):
         the mel is processed in fixed-size chunks with ``context_frames``
-        of true neighbor context on each side, so arbitrary utterance
-        lengths hit exactly TWO compiled programs (interior chunks of
-        ``chunk_frames + 2*context`` frames; boundary chunks of
-        ``chunk_frames + context``), with O(chunk) device memory.
+        of true neighbor context on each side. The two boundary chunks
+        (``chunk_frames + context``) run as individual calls; all interior
+        chunks (``chunk_frames + 2*context``, identical shapes) are
+        stacked and run as ONE vmapped call per power-of-two bucket of at
+        most 64 windows — so a 95 s utterance costs 3 dispatches instead
+        of ~30, which removes the per-dispatch host/tunnel latency that
+        made the round-2 pipelined version ~13x slower than one-shot
+        decode. Compiled-program count is O(log n) buckets (max 8) plus
+        the two edge shapes; device memory stays O(bucket * chunk).
 
         When ``context_frames`` covers the generator's receptive field the
         result equals the full-utterance decode: boundary chunks start or
@@ -308,16 +313,44 @@ class InferenceModel:
                 off : off + (valid_hi - valid_lo) * up
             ]
 
-        # bounded pipeline: keep a few chunks in flight so host<->device
-        # latency overlaps compute while device memory stays O(chunk)
-        inflight: list = []
-        max_inflight = 4
-        for entry in plan:
-            inflight.append((entry, dispatch(entry)))
-            if len(inflight) > max_inflight:
-                collect(*inflight.pop(0))
-        for pending in inflight:
-            collect(*pending)
+        # dispatch order: first edge, then the batched interior slices,
+        # then the last edge — all async, collected afterwards. Interior
+        # valid ranges are disjoint; the boundary-exact last chunk must be
+        # written AFTER the interior (it overwrites weak-context tail
+        # frames), which the collect order below preserves.
+        first, interior, last = plan[0], plan[1:-1], plan[-1]
+        win = chunk + 2 * ctx
+        max_batch = 64  # bounds device memory per dispatch
+        out_first = dispatch(first)
+        interior_out = []  # (slice entries, device array)
+        for s0 in range(0, len(interior), max_batch):
+            part = interior[s0 : s0 + max_batch]
+            n = len(part)
+            bucket = 1 << (n - 1).bit_length()
+            cw = np.zeros((bucket, win, c.shape[1]), np.float32)
+            zw = np.zeros(
+                (bucket, win * up if use_noise else 0), np.float32
+            )
+            for j, (lo, hi, _, _, _) in enumerate(part):
+                cw[j] = c[lo:hi]
+                if use_noise:
+                    zw[j] = z_all[lo * up : hi * up]
+            fn_b = self._compiled_stream_batched(win, bucket)
+            interior_out.append(
+                (part, fn_b(jnp.asarray(cw), jnp.asarray(zw)))
+            )
+        out_last = dispatch(last)
+
+        collect(first, out_first)
+        for part, dev in interior_out:
+            outs = np.asarray(jax.device_get(dev))
+            for j, entry in enumerate(part):
+                lo, _, _, valid_lo, valid_hi = entry
+                off = (valid_lo - lo) * up
+                y[valid_lo * up : valid_hi * up] = outs[
+                    j, off : off + (valid_hi - valid_lo) * up
+                ]
+        collect(last, out_last)
         return y
 
     # -- temporal-sharded decode ------------------------------------------
@@ -416,6 +449,13 @@ class InferenceModel:
         key = ("stream", frames)
         if key not in self._jit_cache:
             self._jit_cache[key] = jax.jit(self._forward_fn())
+        return self._jit_cache[key]
+
+    def _compiled_stream_batched(self, frames: int, batch: int):
+        """One program per (window, bucket): all interior chunks at once."""
+        key = ("stream_batch", frames, batch)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jax.jit(jax.vmap(self._forward_fn()))
         return self._jit_cache[key]
 
     def _out_shape_tail(self) -> tuple:

@@ -18,10 +18,14 @@ import yaml
 from tests.test_distributed_launch import CONFIG as BASE_CONFIG, _write_dump
 
 
-def _run_train(conf, train_dir, dev_dir, outdir, extra):
+def _run_train(conf, train_dir, dev_dir, outdir, extra, n_devices=1):
     env = dict(os.environ)
     env.pop("PALLAS_AXON_POOL_IPS", None)
-    env.pop("XLA_FLAGS", None)  # child runs on ONE CPU device
+    env.pop("XLA_FLAGS", None)  # child runs on ONE CPU device by default
+    if n_devices > 1:
+        env["XLA_FLAGS"] = (
+            f"--xla_force_host_platform_device_count={n_devices}"
+        )
     env["JAX_PLATFORMS"] = "cpu"
     cmd = [
         sys.executable, "-m", "parallelwavegan_tpu.bin.train",
@@ -146,7 +150,9 @@ def test_sigterm_preemption_saves_checkpoint(tmp_path):
             raise AssertionError("training never stepped: " +
                                  open(logf).read()[-2000:])
         proc.send_signal(signal.SIGTERM)
-        rc = proc.wait(timeout=120)
+        # generous: graceful shutdown includes the finally-save, and a
+        # loaded CI box can stretch it well past a tight deadline
+        rc = proc.wait(timeout=300)
     finally:
         if proc.poll() is None:
             proc.kill()
@@ -154,3 +160,65 @@ def test_sigterm_preemption_saves_checkpoint(tmp_path):
     assert rc == 0, log[-3000:]
     saved = [p for p in os.listdir(out) if p.startswith("checkpoint-")]
     assert saved, log[-3000:]
+
+
+def test_elastic_resume_across_device_counts(tmp_path):
+    """Preemption -> differently-sized-slice resume (IMPLEMENTATION_STATUS
+    §2.6): checkpoints are host-agnostic replicated pytrees, so a run saved
+    on ONE device must resume on an 8-device mesh and vice versa, with the
+    step counter and optimizer state carried across the mesh change."""
+    from flax import serialization
+
+    train_dir, dev_dir = tmp_path / "train", tmp_path / "dev"
+    _write_dump(str(train_dir), 16, 0)
+    _write_dump(str(dev_dir), 4, 1)
+
+    config = dict(BASE_CONFIG)
+    config.update(distributed=False, batch_size=8, train_max_steps=2,
+                  save_interval_steps=2, eval_interval_steps=100,
+                  log_interval_steps=1)
+    conf = tmp_path / "conf.yaml"
+    with open(conf, "w") as f:
+        yaml.safe_dump(config, f)
+
+    out = tmp_path / "exp"
+    _run_train(conf, train_dir, dev_dir, out, [], n_devices=1)
+    ckpt2 = out / "checkpoint-2steps.pkl"
+    assert ckpt2.exists()
+
+    # resume the 1-device checkpoint on an 8-device mesh
+    config["train_max_steps"] = 4
+    with open(conf, "w") as f:
+        yaml.safe_dump(config, f)
+    log = _run_train(conf, train_dir, dev_dir, out,
+                     ["--resume", str(ckpt2)], n_devices=8)
+    assert "(Steps: 3)" in log and "Finished training (4 steps)" in log, \
+        log[-2000:]
+    ckpt4 = out / "checkpoint-4steps.pkl"
+    assert ckpt4.exists()
+
+    # and back: resume the 8-device checkpoint on one device
+    config["train_max_steps"] = 6
+    with open(conf, "w") as f:
+        yaml.safe_dump(config, f)
+    log = _run_train(conf, train_dir, dev_dir, out,
+                     ["--resume", str(ckpt4)], n_devices=1)
+    assert "Finished training (6 steps)" in log, log[-2000:]
+
+    # the payloads round-trip as plain host pytrees: same treedef and
+    # shapes regardless of the mesh that wrote them
+    t2 = serialization.msgpack_restore(open(ckpt2, "rb").read())
+    t4 = serialization.msgpack_restore(open(ckpt4, "rb").read())
+    assert int(np.asarray(t2["steps"])) == 2
+    assert int(np.asarray(t4["steps"])) == 4
+
+    def flat(d, pre=""):
+        for k, v in d.items():
+            if isinstance(v, dict):
+                yield from flat(v, pre + k + "/")
+            else:
+                yield pre + k, np.asarray(v).shape
+
+    s2, s4 = dict(flat(t2)), dict(flat(t4))
+    assert s2.keys() == s4.keys()
+    assert all(s2[k] == s4[k] for k in s2)
