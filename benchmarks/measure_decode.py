@@ -43,7 +43,7 @@ FAMILIES = {
 }
 
 
-def build(config, on_tpu: bool):
+def build(config, on_tpu: bool, fused: bool = True):
     """Generator + (input maker, forward fn over (params, inputs))."""
     from parallelwavegan_tpu.models import get_model_class
     from parallelwavegan_tpu.ops.pqmf import PQMF
@@ -57,10 +57,13 @@ def build(config, on_tpu: bool):
         for k, v in config["generator_params"].items()
     }
     # fused decode kernels (no-op off TPU; equivalence pinned in tests)
+    on_tpu = on_tpu and fused
     if gtype == "HiFiGANGenerator" and on_tpu:
         gp.update(use_pallas_tail=True, pallas_tail_tile=2048)
     if gtype == "ParallelWaveGANGenerator" and on_tpu:
         gp.update(use_pallas_stack=True)
+    if gtype == "StyleMelGANGenerator" and on_tpu:
+        gp.update(use_pallas_tade=True)
     gen = get_model_class(gtype)(**gp)
 
     out_ch = gp.get("out_channels", 1)
@@ -104,7 +107,8 @@ def build(config, on_tpu: bool):
     return gen, make_inputs, forward
 
 
-def measure(name, conf_file, ref_rtf, frames: int, iters: int):
+def measure(name, conf_file, ref_rtf, frames: int, iters: int,
+            fused: bool = True):
     import jax
     import jax.numpy as jnp
 
@@ -112,7 +116,7 @@ def measure(name, conf_file, ref_rtf, frames: int, iters: int):
         config = yaml.safe_load(f)
     fs, hop = config["sampling_rate"], config["hop_size"]
     on_tpu = jax.default_backend() == "tpu"
-    gen, make_inputs, forward = build(config, on_tpu)
+    gen, make_inputs, forward = build(config, on_tpu, fused=fused)
 
     rng = np.random.RandomState(0)
     inputs, eff_frames = make_inputs(frames, rng)
@@ -148,10 +152,13 @@ def main():
     ap.add_argument("--families", default=",".join(FAMILIES))
     ap.add_argument("--frames", type=int, default=512)
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--no-fused", action="store_true",
+                    help="disable the fused Pallas decode kernels (XLA A/B)")
     args = ap.parse_args()
     for name in args.families.split(","):
         conf_file, ref = FAMILIES[name.strip()]
-        measure(name.strip(), conf_file, ref, args.frames, args.iters)
+        measure(name.strip(), conf_file, ref, args.frames, args.iters,
+                fused=not args.no_fused)
 
 
 if __name__ == "__main__":

@@ -151,7 +151,9 @@ class _NormalizedKernel(nn.Module):
                 u_var.value = u
                 v_var.value = v
             sigma = jnp.dot(u, w_mat @ v)
-            return kernel / (sigma + 1e-12)
+            # the stored (u, v) stay f32 even under bf16 mixed precision,
+            # so divide would promote — keep the weight in the kernel dtype
+            return (kernel / (sigma + 1e-12)).astype(kernel.dtype)
         raise ValueError(f"unknown norm {norm!r}")
 
 

@@ -42,27 +42,36 @@ class TADELayer(nn.Module):
     norm: str | None = "weight"
 
     @nn.compact
-    def __call__(self, x: Array, c: Array) -> tuple[Array, Array]:
+    def __call__(self, x: Array, c: Array, *, collect_weights: bool = False):
         if self.upsample_mode != "nearest":
             raise ValueError("only nearest upsampling is supported")
-        x = instance_norm_1d(x)
-        c = stretch_time(c, self.upsample_factor)
-        c = Conv1d(
+        aux_conv = Conv1d(
             features=self.in_channels,
             kernel_size=self.kernel_size,
             padding=(self.kernel_size - 1) // 2,
             use_bias=self.bias,
             norm=self.norm,
             name="aux_conv",
-        )(c)
-        cg = Conv1d(
+        )
+        gated_conv = Conv1d(
             features=self.in_channels * 2,
             kernel_size=self.kernel_size,
             padding=(self.kernel_size - 1) // 2,
             use_bias=self.bias,
             norm=self.norm,
             name="gated_conv",
-        )(c)
+        )
+        if collect_weights:
+            # folded effective weights for the fused decode kernel
+            # (tade_decode.py); dummies only fix the conv input widths
+            aw, ab = aux_conv(c, return_params=True)
+            dummy = jnp.zeros(c.shape[:2] + (self.in_channels,), c.dtype)
+            gw, gb = gated_conv(dummy, return_params=True)
+            return {"aux_w": aw, "aux_b": ab, "g_w": gw, "g_b": gb}
+        x = instance_norm_1d(x)
+        c = stretch_time(c, self.upsample_factor)
+        c = aux_conv(c)
+        cg = gated_conv(c)
         cg1, cg2 = jnp.split(cg, 2, axis=-1)
         y = cg1 * stretch_time(x, self.upsample_factor) + cg2
         return y, c
@@ -82,7 +91,7 @@ class TADEResBlock(nn.Module):
     norm: str | None = "weight"
 
     @nn.compact
-    def __call__(self, x: Array, c: Array) -> tuple[Array, Array]:
+    def __call__(self, x: Array, c: Array, *, collect_weights: bool = False):
         if self.gated_function == "softmax":
             gate = lambda v: jax.nn.softmax(v, axis=-1)  # noqa: E731
         elif self.gated_function == "sigmoid":
@@ -90,8 +99,7 @@ class TADEResBlock(nn.Module):
         else:
             raise ValueError(f"{self.gated_function} is not supported.")
 
-        residual = x
-        x, c = TADELayer(
+        tade1 = TADELayer(
             in_channels=self.in_channels,
             aux_channels=self.aux_channels,
             kernel_size=self.kernel_size,
@@ -100,19 +108,16 @@ class TADEResBlock(nn.Module):
             upsample_mode=self.upsample_mode,
             norm=self.norm,
             name="tade1",
-        )(x, c)
-        x = Conv1d(
+        )
+        gated_conv1 = Conv1d(
             features=self.in_channels * 2,
             kernel_size=self.kernel_size,
             padding=(self.kernel_size - 1) // 2,
             use_bias=self.bias,
             norm=self.norm,
             name="gated_conv1",
-        )(x)
-        xa, xb = jnp.split(x, 2, axis=-1)
-        x = gate(xa) * jnp.tanh(xb)
-
-        x, c = TADELayer(
+        )
+        tade2 = TADELayer(
             in_channels=self.in_channels,
             aux_channels=self.in_channels,
             kernel_size=self.kernel_size,
@@ -121,8 +126,8 @@ class TADEResBlock(nn.Module):
             upsample_mode=self.upsample_mode,
             norm=self.norm,
             name="tade2",
-        )(x, c)
-        x = Conv1d(
+        )
+        gated_conv2 = Conv1d(
             features=self.in_channels * 2,
             kernel_size=self.kernel_size,
             dilation=self.dilation,
@@ -130,7 +135,43 @@ class TADEResBlock(nn.Module):
             use_bias=self.bias,
             norm=self.norm,
             name="gated_conv2",
-        )(x)
+        )
+
+        if collect_weights:
+            # folded weight dict for the fused decode kernel
+            # (ops/pallas_kernels/tade_decode.py); dummies only pin the
+            # conv input widths so the param tree matches the normal path
+            dummy = jnp.zeros(x.shape[:2] + (self.in_channels,), x.dtype)
+            w1 = tade1(x, c, collect_weights=True)
+            c1w, c1b = gated_conv1(dummy, return_params=True)
+            w2 = tade2(x, dummy, collect_weights=True)
+            c2w, c2b = gated_conv2(dummy, return_params=True)
+
+            def b_or_zero(b, n):
+                return b if b is not None else jnp.zeros((n,), x.dtype)
+
+            two_c = self.in_channels * 2
+            return {
+                "aux1_w": w1["aux_w"],
+                "aux1_b": b_or_zero(w1["aux_b"], self.in_channels),
+                "g1_w": w1["g_w"], "g1_b": b_or_zero(w1["g_b"], two_c),
+                "gc1_w": c1w, "gc1_b": b_or_zero(c1b, two_c),
+                "aux2_w": w2["aux_w"],
+                "aux2_b": b_or_zero(w2["aux_b"], self.in_channels),
+                "g2_w": w2["g_w"], "g2_b": b_or_zero(w2["g_b"], two_c),
+                "gc2_w": c2w, "gc2_b": b_or_zero(c2b, two_c),
+                "scale": self.upsample_factor,
+                "dilation": self.dilation,
+            }
+
+        residual = x
+        x, c = tade1(x, c)
+        x = gated_conv1(x)
+        xa, xb = jnp.split(x, 2, axis=-1)
+        x = gate(xa) * jnp.tanh(xb)
+
+        x, c = tade2(x, c)
+        x = gated_conv2(x)
         xa, xb = jnp.split(x, 2, axis=-1)
         x = gate(xa) * jnp.tanh(xb)
 

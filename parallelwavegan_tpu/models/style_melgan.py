@@ -53,6 +53,12 @@ class _StyleMelGANTrunk(nn.Module):
     upsample_mode: str
     gated_function: str
     use_weight_norm: bool
+    # fused decode path: run the long TADE blocks through the packed
+    # Pallas kernels (ops/pallas_kernels/tade_decode.py); same param tree,
+    # inference-only, no-op off TPU (interpret mode in tests)
+    use_pallas_tade: bool = False
+    pallas_tade_tile: int = 1024
+    pallas_tade_min_t: int = 4096
 
     @nn.compact
     def __call__(self, c: Array, z: Array) -> Array:
@@ -77,11 +83,10 @@ class _StyleMelGANTrunk(nn.Module):
             )(x)
             x = act(x)
 
-        aux_chs = self.aux_channels
-        for i, scale in enumerate(self.upsample_scales):
-            x, c = TADEResBlock(
+        block_mods = [
+            TADEResBlock(
                 in_channels=self.channels,
-                aux_channels=aux_chs,
+                aux_channels=(self.aux_channels if i == 0 else self.channels),
                 kernel_size=self.kernel_size,
                 dilation=self.dilation,
                 bias=self.bias,
@@ -90,8 +95,28 @@ class _StyleMelGANTrunk(nn.Module):
                 gated_function=self.gated_function,
                 norm=norm,
                 name=f"blocks_{i}",
-            )(x, c)
-            aux_chs = self.channels
+            )
+            for i, scale in enumerate(self.upsample_scales)
+        ]
+        if self.use_pallas_tade and self.channels == 64:
+            from parallelwavegan_tpu.ops.pallas_kernels.tade_decode import (
+                fused_tade_blocks,
+            )
+
+            blocks = []
+            for i, mod in enumerate(block_mods):
+                ach = self.aux_channels if i == 0 else self.channels
+                dx = jnp.zeros(x.shape[:2] + (self.channels,), x.dtype)
+                dc = jnp.zeros(x.shape[:2] + (ach,), x.dtype)
+                blocks.append(mod(dx, dc, collect_weights=True))
+            x, c = fused_tade_blocks(
+                x, c, blocks, gated_function=self.gated_function,
+                min_fused_t=self.pallas_tade_min_t,
+                t_tile=self.pallas_tade_tile,
+            )
+        else:
+            for mod in block_mods:
+                x, c = mod(x, c)
 
         x = Conv1d(
             features=self.out_channels,
@@ -128,6 +153,9 @@ class StyleMelGANGenerator(nn.Module):
     upsample_mode: str = "nearest"
     gated_function: str = "softmax"
     use_weight_norm: bool = True
+    use_pallas_tade: bool = False
+    pallas_tade_tile: int = 1024
+    pallas_tade_min_t: int = 4096
 
     @nn.compact
     def __call__(self, c: Array, z: Array | None = None) -> Array:
@@ -150,6 +178,9 @@ class StyleMelGANGenerator(nn.Module):
             upsample_mode=self.upsample_mode,
             gated_function=self.gated_function,
             use_weight_norm=self.use_weight_norm,
+            use_pallas_tade=self.use_pallas_tade,
+            pallas_tade_tile=self.pallas_tade_tile,
+            pallas_tade_min_t=self.pallas_tade_min_t,
             name="trunk",
         )(c, z)
 
@@ -196,6 +227,9 @@ class DiscreteSymbolStyleMelGANGenerator(nn.Module):
     upsample_mode: str = "nearest"
     gated_function: str = "softmax"
     use_weight_norm: bool = True
+    use_pallas_tade: bool = False
+    pallas_tade_tile: int = 1024
+    pallas_tade_min_t: int = 4096
 
     @nn.compact
     def __call__(self, c: Array, z: Array | None = None) -> Array:
@@ -236,6 +270,9 @@ class DiscreteSymbolStyleMelGANGenerator(nn.Module):
             upsample_mode=self.upsample_mode,
             gated_function=self.gated_function,
             use_weight_norm=self.use_weight_norm,
+            use_pallas_tade=self.use_pallas_tade,
+            pallas_tade_tile=self.pallas_tade_tile,
+            pallas_tade_min_t=self.pallas_tade_min_t,
             name="trunk",
         )(cond, z)
 

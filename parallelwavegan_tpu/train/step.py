@@ -170,6 +170,31 @@ def build_train_step(
     update_prediction = config.get("update_prediction_after_generator_update", True)
     is_vq = config.get("generator_type") == "VQVAE"
     use_duration = config.get("generator_type") == "DiscreteSymbolDurationGenerator"
+    # mixed_precision: true -> model forwards/backwards run in bf16
+    # (params cast at use, activations bf16, halved HBM traffic) while the
+    # master params, optimizer state, losses and non-param variables
+    # (spectral-norm u/v) stay float32. bf16 has f32's exponent range, so
+    # no loss scaling is needed. The cast is differentiable: grads arrive
+    # back in f32 for the optax update.
+    mixed = bool(config.get("mixed_precision", False))
+
+    def _bf16(tree):
+        if not mixed:
+            return tree
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+            tree,
+        )
+
+    def _f32(tree):
+        if not mixed:
+            return tree
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.float32)
+            if hasattr(x, "dtype") and x.dtype == jnp.bfloat16 else x,
+            tree,
+        )
 
     if train_g and train_d and update_prediction:
         g_step = build_train_step(
@@ -210,8 +235,11 @@ def build_train_step(
 
             def g_loss_fn(p_g):
                 m = {}
+                p_gc, batch_c = _bf16(p_g), _bf16(batch)
                 if is_vq:
-                    y_, z_e, z_q = gen_forward(p_g, state.vars_g, batch, rng_g, True)
+                    y_, z_e, z_q = _f32(gen_forward(
+                        p_gc, state.vars_g, batch_c, rng_g, True
+                    ))
                     quantize_loss = jnp.mean(
                         (z_q - jax.lax.stop_gradient(z_e)) ** 2
                     )
@@ -222,13 +250,17 @@ def build_train_step(
                     m["commitment_loss"] = commit_loss
                     gen_loss = quantize_loss + criterion.lambda_commit * commit_loss
                 elif use_duration:
-                    y_, ds_ = gen_forward(p_g, state.vars_g, batch, rng_g, True)
+                    y_, ds_ = _f32(gen_forward(
+                        p_gc, state.vars_g, batch_c, rng_g, True
+                    ))
                     log_d_target = jnp.log(batch["ds"].astype(jnp.float32) + 1.0)
                     duration_loss = jnp.mean((ds_ - log_d_target) ** 2)
                     m["duration_loss"] = duration_loss
                     gen_loss = duration_loss
                 else:
-                    y_ = gen_forward(p_g, state.vars_g, batch, rng_g, True)
+                    y_ = _f32(gen_forward(
+                        p_gc, state.vars_g, batch_c, rng_g, True
+                    ))
                     gen_loss = 0.0
 
                 aux_loss, y_full, _ = _generator_losses(
@@ -243,14 +275,17 @@ def build_train_step(
                     # these G-phase passes (train.py:265-276) — the updated
                     # (u, v) estimates are threaded out through the aux
                     p_, vars_d_after = dis_forward(
-                        params_d, vars_d, y_full, rng_gd, True
+                        _bf16(params_d), vars_d, _bf16(y_full), rng_gd, True
                     )
+                    p_ = _f32(p_)
                     adv_loss = criterion.gen_adv(p_)
                     m["adversarial_loss"] = adv_loss
                     if criterion.use_feat_match_loss:
                         p, vars_d_after = dis_forward(
-                            params_d, vars_d_after, y, rng_gd, True
+                            _bf16(params_d), vars_d_after, _bf16(y),
+                            rng_gd, True,
                         )
+                        p = _f32(p)
                         fm_loss = criterion.feat_match(p_, p)
                         m["feature_matching_loss"] = fm_loss
                         adv_loss = adv_loss + criterion.lambda_feat_match * fm_loss
@@ -271,24 +306,27 @@ def build_train_step(
             # fresh fakes from the just-updated generator (train.py:300-315);
             # with the option off and G untrained this still runs G once
             if update_prediction or not train_g:
+                p_gc, batch_c = _bf16(params_g), _bf16(batch)
                 if is_vq:
                     y_, _, _ = gen_forward(
-                        params_g, state.vars_g, batch, rng_dre, False
+                        p_gc, state.vars_g, batch_c, rng_dre, False
                     )
                 elif use_duration:
                     y_, _ = gen_forward(
-                        params_g, state.vars_g, batch, rng_dre, False
+                        p_gc, state.vars_g, batch_c, rng_dre, False
                     )
                 else:
-                    y_ = gen_forward(params_g, state.vars_g, batch, rng_dre, False)
+                    y_ = gen_forward(p_gc, state.vars_g, batch_c, rng_dre, False)
+                y_ = _f32(y_)
                 if config["generator_params"].get("out_channels", 1) > 1:
                     y_ = criterion.pqmf.synthesis(y_)
                 y_ = jax.lax.stop_gradient(y_)
 
             def d_loss_fn(p_d):
-                p, vars1 = dis_forward(p_d, vars_d, y, rng_dr, True)
-                p_, vars2 = dis_forward(p_d, vars1, y_, rng_df, True)
-                real_loss, fake_loss = criterion.dis_adv(p_, p)
+                p_dc = _bf16(p_d)
+                p, vars1 = dis_forward(p_dc, vars_d, _bf16(y), rng_dr, True)
+                p_, vars2 = dis_forward(p_dc, vars1, _bf16(y_), rng_df, True)
+                real_loss, fake_loss = criterion.dis_adv(_f32(p_), _f32(p))
                 dis_loss = real_loss + fake_loss
                 return dis_loss, (real_loss, fake_loss, vars2)
 
