@@ -62,6 +62,8 @@ def build(config, on_tpu: bool, fused: bool = True):
         gp.update(use_pallas_tail=True, pallas_tail_tile=2048)
     if gtype == "ParallelWaveGANGenerator" and on_tpu:
         gp.update(use_pallas_stack=True)
+    if gtype == "MelGANGenerator" and on_tpu:
+        gp.update(use_pallas_stacks=True)
     if gtype == "StyleMelGANGenerator" and on_tpu:
         gp.update(use_pallas_tade=True)
     gen = get_model_class(gtype)(**gp)

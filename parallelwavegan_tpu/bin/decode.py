@@ -56,6 +56,11 @@ def main():
         help="fused decode-tail Pallas kernel (HiFi-GAN family; same "
              "params, ~1.55x faster than the XLA path on TPU)",
     )
+    parser.add_argument(
+        "--use-pallas-stacks", default=False, action="store_true",
+        help="fused residual-stack Pallas kernel (MelGAN / multi-band "
+             "MelGAN; same params, ~1.5x faster than the XLA path on TPU)",
+    )
     parser.add_argument("--batch-size", type=int, default=1,
                         help="decode N utterances per forward (length-"
                              "bucketed); >1 is a serving-throughput mode "
@@ -149,6 +154,11 @@ def main():
         config = dict(config)
         config["generator_params"] = dict(config["generator_params"])
         config["generator_params"]["use_pallas_tail"] = True
+    if args.use_pallas_stacks and config.get("generator_type", "") == (
+            "MelGANGenerator"):
+        config = dict(config)
+        config["generator_params"] = dict(config["generator_params"])
+        config["generator_params"]["use_pallas_stacks"] = True
     model = load_model(args.checkpoint, config)
     logging.info("Loaded model parameters from %s.", args.checkpoint)
 

@@ -46,7 +46,7 @@ class ResidualStack(nn.Module):
     kernel_init: Any = None
 
     @nn.compact
-    def __call__(self, c: Array) -> Array:
+    def __call__(self, c: Array, *, collect_weights: bool = False):
         act = get_activation(
             self.nonlinear_activation,
             self.nonlinear_activation_params or {"negative_slope": 0.2},
@@ -58,6 +58,26 @@ class ResidualStack(nn.Module):
         pad_kwargs = {}
         if mode == "constant":
             pad_kwargs["constant_values"] = (self.pad_params or {}).get("value", 0.0)
+
+        if collect_weights:
+            # fused-kernel path (ops/pallas_kernels/melgan_stack.py): expose
+            # the effective (normalized) weights without running the convs;
+            # the flax param tree stays identical to the compute path.
+            wd, bd = Conv1d(
+                features=self.channels, kernel_size=self.kernel_size,
+                dilation=self.dilation, padding=0, use_bias=self.bias,
+                norm=self.norm, kernel_init=kinit, name="conv_dilated",
+            )(c, return_params=True)
+            w1, b1 = Conv1d(
+                features=self.channels, kernel_size=1, use_bias=self.bias,
+                norm=self.norm, kernel_init=kinit, name="conv_1x1",
+            )(c, return_params=True)
+            ws, bs = Conv1d(
+                features=self.channels, kernel_size=1, use_bias=self.bias,
+                norm=self.norm, kernel_init=kinit, name="skip_conv",
+            )(c, return_params=True)
+            return {"wd": wd, "bd": bd, "w1": w1, "b1": b1,
+                    "ws": ws, "bs": bs, "dilation": self.dilation}
 
         x = act(c)
         if not self.use_causal_conv:

@@ -53,6 +53,7 @@ class MelGANGenerator(nn.Module):
     use_final_nonlinear_activation: bool = True
     use_weight_norm: bool = True
     use_causal_conv: bool = False
+    use_pallas_stacks: bool = False  # fused residual-stack decode kernel
 
     @nn.compact
     def __call__(self, c: Array) -> Array:
@@ -67,6 +68,20 @@ class MelGANGenerator(nn.Module):
         mode = _PAD_MODES.get(self.pad)
         if mode is None:
             raise ValueError(f"pad {self.pad!r} is not supported")
+        # fused Pallas path (ops/pallas_kernels/melgan_stack.py): per
+        # upsample stage, run all ``stacks`` ResidualStacks (and, on the
+        # last stage, the trailing act -> out conv -> tanh) as one kernel.
+        # Gated to the shapes/semantics the kernel covers; the deconvs
+        # between stages stay in XLA (matmul-shaped, MXU-efficient).
+        fuse_ok = (
+            self.use_pallas_stacks
+            and not self.use_causal_conv
+            and self.nonlinear_activation == "LeakyReLU"
+            and (mode != "constant"
+                 or (self.pad_params or {}).get("value", 0.0) == 0.0)
+        )
+        slope = (self.nonlinear_activation_params
+                 or {"negative_slope": 0.2}).get("negative_slope", 0.01)
 
         li = 0
         if not self.use_causal_conv:
@@ -122,8 +137,10 @@ class MelGANGenerator(nn.Module):
                     name=f"layers_{li}",
                 )(c)
             li += 1
+            fuse_stage = fuse_ok and ch <= 128
+            stack_weights = []
             for j in range(self.stacks):
-                c = ResidualStack(
+                out = ResidualStack(
                     kernel_size=self.stack_kernel_size,
                     channels=ch,
                     dilation=self.stack_kernel_size**j,
@@ -137,8 +154,36 @@ class MelGANGenerator(nn.Module):
                     norm=norm,
                     kernel_init=kinit,
                     name=f"layers_{li}",
-                )(c)
+                )(c, collect_weights=fuse_stage)
                 li += 1
+                if fuse_stage:
+                    stack_weights.append(out)
+                else:
+                    c = out
+            if fuse_stage:
+                from parallelwavegan_tpu.ops.pallas_kernels.melgan_stack import (
+                    fused_melgan_stacks,
+                )
+
+                final = None
+                if (i == len(self.upsample_scales) - 1
+                        and self.use_final_nonlinear_activation):
+                    # fold the trailing act -> out conv -> tanh in too
+                    final = Conv1d(
+                        features=self.out_channels,
+                        kernel_size=self.kernel_size,
+                        padding=0,
+                        use_bias=self.bias,
+                        norm=norm,
+                        kernel_init=kinit,
+                        name=f"layers_{li}",
+                    )(c, return_params=True)
+                c = fused_melgan_stacks(
+                    c, stack_weights, final=final, slope=slope,
+                    pad_mode=mode,
+                )
+                if final is not None:
+                    return c
 
         c = act(c)
         if not self.use_causal_conv:

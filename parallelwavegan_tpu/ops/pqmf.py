@@ -91,7 +91,7 @@ class PQMF:
         pad = self.taps // 2
         return lax.conv_general_dilated(
             x,
-            self._analysis_kernel,
+            self._analysis_kernel.astype(x.dtype),
             window_strides=(self.subbands,),
             padding=[(pad, pad)],
             dimension_numbers=("NTC", "TIO", "NTC"),
@@ -107,7 +107,7 @@ class PQMF:
         s = self.subbands
         return lax.conv_general_dilated(
             x,
-            self._synthesis_kernel * s,
+            (self._synthesis_kernel * s).astype(x.dtype),
             window_strides=(1,),
             padding=[(pad, pad + s - 1)],
             lhs_dilation=(s,),
