@@ -24,13 +24,13 @@ The compared families (hifigan / pwg / mb_melgan, the three VERDICT r2
 named) are deterministic given the batch — no dropout, no noise sampling
 inside the step — so per-step G/D losses are directly comparable.
 
-Known, bounded semantic difference: with ``follow_official_norm`` the
-first HiFi-GAN scale discriminator carries spectral norm, and torch runs
-its power iteration on EVERY train-mode forward (4x/step: two no-grad
-passes in the G phase + two in the D phase) while our step updates the
-``u`` vectors only in the D phase (2x/step). The u vectors converge to
-the same top singular vector either way; the measured effect on losses
-over 100 debug steps is small and is reported per-step by this harness.
+Spectral-norm schedule: with ``follow_official_norm`` the first
+HiFi-GAN scale discriminator carries spectral norm, and torch runs its
+power iteration on EVERY train-mode forward (4x/step: two passes in the
+G phase + two in the D phase). Our step matches this exactly — the
+G-phase D forwards thread the updated ``(u, v)`` estimates out through
+the loss aux (train/step.py:271-291) so the D phase starts from the
+same power-iteration state torch would have.
 
 Dependency shims: ``soundfile`` (unused on this path) is stubbed, and
 ``librosa.filters.mel`` is backed by our own Slaney filterbank

@@ -62,12 +62,25 @@ def main():
     ap.add_argument("--dur", type=float, default=6.0)
     ap.add_argument("--workdir", default="/tmp/train_bench")
     ap.add_argument("--fresh-data", action="store_true")
+    ap.add_argument(
+        "--override", action="append", default=[], metavar="KEY=YAMLVALUE",
+        help="config override, e.g. --override mixed_precision=true "
+        "(dots descend into nested dicts)")
+    ap.add_argument("--tag", default="", help="suffix for workdir artifacts")
     args = ap.parse_args()
 
     with open(args.config) as f:
         config = yaml.safe_load(f)
+    for ov in args.override:
+        key, _, val = ov.partition("=")
+        node, parts = config, key.split(".")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = yaml.safe_load(val)
     fs = config["sampling_rate"]
     name = os.path.splitext(os.path.basename(args.config))[0]
+    if args.tag:
+        name = f"{name}_{args.tag}"
 
     data_dir = os.path.join(args.workdir, f"data_{fs}_{args.utts}x{args.dur}")
     wav_dir = os.path.join(data_dir, "wav")
