@@ -1,30 +1,35 @@
 #!/usr/bin/env python
-"""Benchmark harness: HiFi-GAN V1 decode RTF + full-scale training
-throughput + MFU on one TPU chip.
+"""Benchmark harness: decode RTF for all five families + full-scale
+training throughput (f32 AND bf16 mixed precision) + MFU on one TPU chip.
 
 Prints exactly one JSON line (driver contract: metric/value/unit/
-vs_baseline), with the round-3 additions as extra keys:
+vs_baseline). The primary metric stays HiFi-GAN V1 decode RTF; the extra
+keys regression-track every published margin (VERDICT r3 #5):
 
-  {"metric": "hifigan_v1_decode_rtf", "value": <RTF>, "unit": "rtf",
-   "vs_baseline": <0.005 / RTF>,
-   "decode_rtf": <RTF>,
-   "train_steps_per_sec": <full-scale G+D steps/s>,
-   "samples_per_sec": <steps/s * batch * batch_max_steps>,
-   "train_flops_per_step": <XLA cost-analysis FLOPs of the two phase
-                            programs (G program + D program)>,
-   "mfu": <train_flops_per_step * steps/s / v5e peak (197e12 bf16)>}
+  decode_rtf                    HiFi-GAN V1 (fused tail kernel)
+  decode_rtf_{melgan,mb_melgan,pwg,style_melgan}
+                                fused decode kernels, 512 frames
+  train_steps_per_sec           full-scale HiFi-GAN V1 G+D step, f32
+  train_steps_per_sec_bf16      same step with mixed_precision: true
+  mb_melgan_train_steps_per_sec MB-MelGAN v2 G+D step, f32 (thin margin)
+  mb_melgan_train_steps_per_sec_bf16
+  samples_per_sec               HiFi-GAN f32 steps/s * batch * crop
+  train_flops_per_step          XLA cost analysis of the two phase programs
+  mfu / mfu_bf16                flops * steps/s / v5e peak (197e12 bf16)
 
 Baselines: decode < 0.005 RTF (BASELINE.json north star); training
 reference point is TITAN V ~1.45 steps/s implied by the 2.5M-step
-schedule (BASELINE.md:43). MFU uses XLA's own cost analysis as the FLOP
-count (includes elementwise ops, so it slightly overstates "model
-FLOPs"), against the v5e bf16 peak of 197 TFLOP/s; with f32 convs the
-achievable ceiling is lower, so this is a conservative utilization
-number.
+schedule (BASELINE.md:43); MB-MelGAN reference throughput is 2.43M
+samples/s implied by 1M steps <= 5 days at batch 64 x 16384
+(multi_band_melgan.v2.yaml:4). MFU uses XLA's own cost analysis as the
+FLOP count (includes elementwise ops, so it slightly overstates "model
+FLOPs"), against the v5e bf16 peak of 197 TFLOP/s; for the f32 step the
+achievable ceiling is ~half that, so f32 MFU is a conservative number.
 
 Training config: LJSpeech HiFi-GAN V1 (G 13.9M + MSMPD D 70.7M,
-batch 16 x 8192 = egs/ljspeech/voc1/conf/hifigan.v1.yaml:101-102), the
-same two-program jitted step the trainer runs.
+batch 16 x 8192 = egs/ljspeech/voc1/conf/hifigan.v1.yaml) and LJSpeech
+MB-MelGAN v2 (batch 16 x 16384), the same two-program jitted step the
+trainer runs.
 """
 
 import json
@@ -36,63 +41,30 @@ import numpy as np
 
 BASELINE_RTF = 0.005  # BASELINE.json north-star target per v5e chip
 REF_TRAIN_STEPS_PER_SEC = 1.45  # TITAN V, BASELINE.md:43
+REF_MB_SAMPLES_PER_SEC = 2.43e6  # TITAN V, multi_band_melgan.v2.yaml:4
 V5E_PEAK_FLOPS = 197e12  # bf16 peak per chip
-FS = 22050
-HOP = 256
 
 REPO = os.path.dirname(os.path.abspath(__file__))
-CONF = os.path.join(REPO, "egs", "ljspeech", "voc1", "conf", "hifigan.v1.yaml")
+sys.path.insert(0, os.path.join(REPO, "benchmarks"))
+CONF = os.path.join(REPO, "egs", "ljspeech", "voc1", "conf")
+
+DECODE_FAMILIES = ("hifigan", "melgan", "mb_melgan", "pwg", "style_melgan")
 
 
-def measure_decode():
-    import jax
-    import jax.numpy as jnp
+def measure_decode_all(frames: int = 512, iters: int = 20) -> dict:
+    import measure_decode as md
 
-    from parallelwavegan_tpu.models import get_model_class
-
-    # LJSpeech HiFi-GAN V1 generator (egs/ljspeech/voc1/conf/hifigan.v1.yaml)
-    G = get_model_class("HiFiGANGenerator")(
-        in_channels=80,
-        out_channels=1,
-        channels=512,
-        kernel_size=7,
-        upsample_scales=(8, 8, 2, 2),
-        upsample_kernel_sizes=(16, 16, 4, 4),
-        resblock_kernel_sizes=(3, 7, 11),
-        resblock_dilations=((1, 3, 5), (1, 3, 5), (1, 3, 5)),
-        # fused Pallas decode path (measured on v5e, frames=512):
-        #   pure XLA                               11.4 ms  (RTF 0.0019)
-        #   + packed MRF C<=64                     10.5 ms  (RTF 0.0018)
-        #   + fused tail (incl. C=128 MRF fold)     7.3 ms  (RTF 0.0012)
-        use_pallas_tail=jax.default_backend() == "tpu",
-        pallas_tail_tile=2048,
-    )
-
-    frames = 512  # ~5.9 s of audio at 22.05 kHz / hop 256
-    c = jnp.asarray(np.random.RandomState(0).randn(1, frames, 80), jnp.float32)
-    params = jax.jit(G.init)(jax.random.key(0), c)
-
-    # serially chain iterations on-device and fetch a scalar: immune to
-    # async-dispatch and host<->device tunnel-latency artifacts
-    n_iters = 20
-
-    @jax.jit
-    def run(params, c):
-        def body(i, carry):
-            y = G.apply(params, c + carry * 1e-12)
-            return jnp.mean(y)
-
-        return jax.lax.fori_loop(0, n_iters, body, jnp.float32(0.0))
-
-    float(jax.device_get(run(params, c)))  # compile
-    start = time.perf_counter()
-    float(jax.device_get(run(params, c)))
-    elapsed = (time.perf_counter() - start) / n_iters
-    return elapsed / (frames * HOP / FS)
+    out = {}
+    for name in DECODE_FAMILIES:
+        conf_file, ref = md.FAMILIES[name]
+        res = md.measure(name, conf_file, ref, frames, iters)
+        out[name] = res["decode_rtf"]
+    return out
 
 
-def measure_train(n_steps: int = 40):
-    """Full-scale HiFi-GAN V1 G+D step: steps/s, samples/s, FLOPs/step."""
+def measure_train(conf_file: str, n_steps: int = 40, mixed: bool = False,
+                  want_flops: bool = True):
+    """Full-scale G+D step for one config: steps/s, samples/s, FLOPs/step."""
     import jax
     import jax.numpy as jnp
     import yaml
@@ -103,10 +75,12 @@ def measure_train(n_steps: int = 40):
     from parallelwavegan_tpu.train.state import init_train_state
     from parallelwavegan_tpu.train.step import build_train_step
 
-    with open(CONF) as f:
+    with open(os.path.join(CONF, conf_file)) as f:
         config = yaml.safe_load(f)
-    batch_size = config["batch_size"]           # 16
-    batch_max_steps = config["batch_max_steps"]  # 8192
+    if mixed:
+        config["mixed_precision"] = True
+    batch_size = 16  # one-chip shard of the data-parallel batch
+    batch_max_steps = config["batch_max_steps"]
     frames = batch_max_steps // config["hop_size"]
 
     gen = get_model_class(config["generator_type"])(
@@ -150,15 +124,16 @@ def measure_train(n_steps: int = 40):
     )
 
     flops = 0.0
-    try:
-        for prog in (g_step, d_step):
-            compiled = prog.lower(state, batch, key).compile()
-            ca = compiled.cost_analysis()
-            if isinstance(ca, (list, tuple)):
-                ca = ca[0]
-            flops += float(ca.get("flops", 0.0))
-    except Exception:
-        flops = 0.0  # cost analysis unsupported on this backend
+    if want_flops:
+        try:
+            for prog in (g_step, d_step):
+                compiled = prog.lower(state, batch, key).compile()
+                ca = compiled.cost_analysis()
+                if isinstance(ca, (list, tuple)):
+                    ca = ca[0]
+                flops += float(ca.get("flops", 0.0))
+        except Exception:
+            flops = 0.0  # cost analysis unsupported on this backend
 
     def one_step(state, i):
         rng = jax.random.fold_in(key, i)
@@ -178,9 +153,22 @@ def measure_train(n_steps: int = 40):
 
 
 def main():
-    rtf = measure_decode()
-    steps_per_sec, samples_per_sec, flops = measure_train()
+    rtfs = measure_decode_all()
+    rtf = rtfs["hifigan"]
+    steps_per_sec, samples_per_sec, flops = measure_train("hifigan.v1.yaml")
+    steps_bf16, _, flops_bf16 = measure_train(
+        "hifigan.v1.yaml", mixed=True
+    )
+    mb_steps, mb_samples, _ = measure_train(
+        "multi_band_melgan.v2.yaml", want_flops=False
+    )
+    mb_steps_bf16, mb_samples_bf16, _ = measure_train(
+        "multi_band_melgan.v2.yaml", mixed=True, want_flops=False
+    )
     mfu = (flops * steps_per_sec / V5E_PEAK_FLOPS) if flops else None
+    mfu_bf16 = (
+        flops_bf16 * steps_bf16 / V5E_PEAK_FLOPS
+    ) if flops_bf16 else None
     print(
         json.dumps(
             {
@@ -189,13 +177,28 @@ def main():
                 "unit": "rtf",
                 "vs_baseline": round(BASELINE_RTF / rtf, 3),
                 "decode_rtf": round(rtf, 6),
+                "decode_rtf_melgan": rtfs["melgan"],
+                "decode_rtf_mb_melgan": rtfs["mb_melgan"],
+                "decode_rtf_pwg": rtfs["pwg"],
+                "decode_rtf_style_melgan": rtfs["style_melgan"],
                 "train_steps_per_sec": round(steps_per_sec, 3),
+                "train_steps_per_sec_bf16": round(steps_bf16, 3),
                 "samples_per_sec": round(samples_per_sec, 1),
                 "train_vs_ref_gpu": round(
                     steps_per_sec / REF_TRAIN_STEPS_PER_SEC, 2
                 ),
+                "mb_melgan_train_steps_per_sec": round(mb_steps, 3),
+                "mb_melgan_train_steps_per_sec_bf16": round(
+                    mb_steps_bf16, 3
+                ),
+                "mb_melgan_train_vs_ref_gpu": round(
+                    max(mb_samples, mb_samples_bf16)
+                    / REF_MB_SAMPLES_PER_SEC, 2
+                ),
                 "train_flops_per_step": flops if flops else None,
                 "mfu": round(mfu, 4) if mfu is not None else None,
+                "mfu_bf16": round(mfu_bf16, 4)
+                if mfu_bf16 is not None else None,
             }
         )
     )

@@ -62,10 +62,16 @@ FAMILY_CONFIGS = {
     "hifigan": "hifigan.v1.debug.yaml",
     "pwg": "parallel_wavegan.v1.debug.yaml",
     "mb_melgan": "multi_band_melgan.v1.debug.yaml",
+    # r4 additions (VERDICT r3 #4): StyleMelGAN with pinned noise + random
+    # windows, VQ-VAE via the converted-init protocol
+    "style_melgan": "style_melgan.v1.debug.yaml",
+    "vqvae": "../../vq1/conf/melgan_vae.v3.debug.yaml",
 }
 
 # ours -> reference total_train_loss key (train.py:232-325)
 LOSS_KEYS = {
+    "quantization_loss": "train/quantization_loss",
+    "commitment_loss": "train/commitment_loss",
     "spectral_convergence_loss": "train/spectral_convergence_loss",
     "log_stft_magnitude_loss": "train/log_stft_magnitude_loss",
     "sub_spectral_convergence_loss": "train/sub_spectral_convergence_loss",
@@ -139,7 +145,18 @@ def load_config(family: str) -> dict:
 
 def make_batches(config: dict, n_steps: int, batch_size: int, frames: int,
                  seed: int):
-    """Deterministic synthetic-speech batches shared by both trainers."""
+    """Deterministic synthetic-speech batches shared by both trainers.
+
+    StyleMelGAN batches additionally pin the step's remaining random
+    draws so both trainers compute the same update:
+      * ``z`` (B, 1, in_channels): the generator's internal noise. The
+        torch side receives it positionally (forward(c, z),
+        style_melgan.py:124-139) — this also pins the D-phase re-run to
+        the same z on both sides.
+      * ``rwd_starts_{adv,real,fake}``: the D's random-window offsets in
+        torch draw order (G-phase fake, D-phase real, D-phase fake); the
+        torch side replays them via an np.random.randint patch.
+    """
     from parallelwavegan_tpu.ops.mel import logmelfilterbank
 
     rs = np.random.RandomState(seed)
@@ -149,6 +166,11 @@ def make_batches(config: dict, n_steps: int, batch_size: int, frames: int,
     fft = config["fft_size"]
     win = config["win_length"]
     gtype = config["generator_type"]
+    if gtype == "StyleMelGANGenerator":
+        # mel length must equal the noise upsample factor in training
+        frames = int(np.prod(
+            config["generator_params"].get(
+                "noise_upsample_scales", (11, 2, 2, 2))))
     t = frames * hop
     batches = []
     for _ in range(n_steps):
@@ -173,6 +195,22 @@ def make_batches(config: dict, n_steps: int, batch_size: int, frames: int,
             w = config["generator_params"].get("aux_context_window", 2)
             b["c"] = np.pad(b["c"], ((0, 0), (w, w), (0, 0)), mode="edge")
             b["z"] = rs.randn(batch_size, t, 1).astype(np.float32)
+        if gtype == "StyleMelGANGenerator":
+            up = int(np.prod(config["generator_params"].get(
+                "upsample_scales", (2,) * 8 + (1,))))
+            assert frames * up == t, "hop_size must equal upsample factor"
+            in_ch = config["generator_params"].get("in_channels", 128)
+            b["z"] = rs.randn(batch_size, 1, in_ch).astype(np.float32)
+            dp = config.get("discriminator_params", {})
+            sizes = list(dp.get("window_sizes", (512, 1024, 2048, 4096)))
+            repeats = dp.get("repeats", 2)
+            for key in ("rwd_starts_adv", "rwd_starts_real",
+                        "rwd_starts_fake"):
+                b[key] = np.array(
+                    [rs.randint(0, t - ws)
+                     for _ in range(repeats) for ws in sizes],
+                    dtype=np.int32,
+                )
         batches.append(b)
     return batches
 
@@ -185,6 +223,12 @@ def to_torch_batch(config: dict, b: dict):
     if config["generator_type"] == "ParallelWaveGANGenerator":
         z = torch.from_numpy(b["z"].transpose(0, 2, 1))
         return ((z, c), y)
+    if config["generator_type"] == "VQVAE":
+        # trainer calls generator(y, *x) — wave-to-wave, no mel input
+        return ((), y)
+    if config["generator_type"] == "StyleMelGANGenerator":
+        z = torch.from_numpy(b["z"].transpose(0, 2, 1))  # (B, in_ch, 1)
+        return ((c, z), y)
     return ((c,), y)
 
 
@@ -358,10 +402,37 @@ def run_ab(family: str, steps: int, batch_size: int = 2, frames: int = 16,
     trainer = build_torch_trainer(config, outdir, seed)
     state, run_step = build_jax_runner(config, trainer.model)
 
+    is_style = config["generator_type"] == "StyleMelGANGenerator"
+
+    def torch_step(b):
+        if not is_style:
+            trainer._train_step(to_torch_batch(config, b))
+            return
+        # replay OUR pinned window offsets in the reference's draw order:
+        # G-phase D(y_), then D-phase D(y), D(y_) (train.py:265-335;
+        # np.random.randint draw at models/style_melgan.py:330-336)
+        queue = list(np.concatenate(
+            [b["rwd_starts_adv"], b["rwd_starts_real"], b["rwd_starts_fake"]]
+        ))
+        orig = np.random.randint
+
+        def replay(high, *args, **kwargs):
+            assert not args and not kwargs, "unexpected randint signature"
+            start = queue.pop(0)
+            assert 0 <= start < high, f"pinned start {start} out of [0,{high})"
+            return int(start)
+
+        np.random.randint = replay
+        try:
+            trainer._train_step(to_torch_batch(config, b))
+        finally:
+            np.random.randint = orig
+        assert not queue, f"{len(queue)} pinned window draws unconsumed"
+
     records = []
     prev = {}
     for i, b in enumerate(batches):
-        trainer._train_step(to_torch_batch(config, b))
+        torch_step(b)
         cur = dict(trainer.total_train_loss)
         torch_losses = {k: cur.get(k, 0.0) - prev.get(k, 0.0) for k in cur}
         prev = cur

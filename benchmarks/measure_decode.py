@@ -139,14 +139,16 @@ def measure(name, conf_file, ref_rtf, frames: int, iters: int,
 
     audio_seconds = eff_frames * hop / fs
     rtf = per_call / audio_seconds
-    print(json.dumps({
+    result = {
         "family": name,
         "config": conf_file,
         "decode_rtf": round(rtf, 6),
         "ms_per_call": round(per_call * 1e3, 3),
         "audio_seconds": round(audio_seconds, 3),
         "ref_titan_v_rtf": ref_rtf,
-    }), flush=True)
+    }
+    print(json.dumps(result), flush=True)
+    return result
 
 
 def main():

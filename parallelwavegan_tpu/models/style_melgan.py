@@ -298,7 +298,12 @@ class StyleMelGANDiscriminator(nn.Module):
     """Random-window discriminator over PQMF sub-band splits.
 
     Needs an ``rwd`` RNG stream for the random window starts:
-    ``D.apply(params, x, rngs={'rwd': key})``.
+    ``D.apply(params, x, rngs={'rwd': key})``. Alternatively pass
+    ``starts`` — an int array of ``repeats * len(window_sizes)`` window
+    offsets (each in ``[0, T - window_size)``) — for deterministic windows
+    (used by the cross-trainer A/B to pin the reference's
+    ``np.random.randint`` draws, ref style_melgan.py:330-336; also handy
+    for debugging).
     """
 
     repeats: int = 2
@@ -313,7 +318,7 @@ class StyleMelGANDiscriminator(nn.Module):
     use_weight_norm: bool = True
 
     @nn.compact
-    def __call__(self, x: Array) -> list[list[Array]]:
+    def __call__(self, x: Array, starts: Array | None = None) -> list[list[Array]]:
         assert len(self.window_sizes) == len(self.pqmf_params)
         sizes = [ws // p[0] for ws, p in zip(self.window_sizes, self.pqmf_params)]
         assert all(s == sizes[0] for s in sizes)
@@ -342,13 +347,18 @@ class StyleMelGANDiscriminator(nn.Module):
             )
 
         outs = []
+        wi = 0
         for _ in range(self.repeats):  # params shared across repeats
             for ws, pqmf_param, disc in zip(
                 self.window_sizes, self.pqmf_params, discriminators
             ):
-                start = jax.random.randint(
-                    self.make_rng("rwd"), (), 0, x.shape[1] - ws
-                )
+                if starts is not None:
+                    start = starts[wi]
+                    wi += 1
+                else:
+                    start = jax.random.randint(
+                        self.make_rng("rwd"), (), 0, x.shape[1] - ws
+                    )
                 x_ = jax.lax.dynamic_slice_in_dim(x, start, ws, axis=1)
                 if pqmf_param[0] > 1:
                     x_ = PQMF(*pqmf_param).analysis(x_)

@@ -44,7 +44,10 @@ def make_generator_forward(config: dict, generator) -> Callable:
                 rngs=rngs,
             )
         if gen_type in ("StyleMelGANGenerator",):
-            return generator.apply(variables, batch["c"], rngs=rngs)
+            # optional explicit z (B, 1, in_channels): the cross-trainer A/B
+            # pins the reference's internal torch.randn draw with it
+            return generator.apply(variables, batch["c"], batch.get("z"),
+                                   rngs=rngs)
         if gen_type in ("UHiFiGANGenerator",):
             return generator.apply(
                 variables,
@@ -87,11 +90,17 @@ def make_discriminator_forward(config: dict, discriminator) -> Callable:
     """(params_d, vars_d, x, rng, update_vars) -> (outputs, new_vars_d)."""
     dis_type = config["discriminator_type"]
 
-    def forward(params_d, vars_d, x, rng, update_vars):
+    def forward(params_d, vars_d, x, rng, update_vars, starts=None):
         variables = {"params": params_d, **vars_d}
         rngs = {"rwd": rng} if dis_type == "StyleMelGANDiscriminator" else None
         mutable = list(vars_d.keys()) if (update_vars and vars_d) else False
-        out = discriminator.apply(variables, x, rngs=rngs, mutable=mutable)
+        if dis_type == "StyleMelGANDiscriminator" and starts is not None:
+            # deterministic random-window offsets (cross-trainer A/B)
+            out = discriminator.apply(
+                variables, x, starts, rngs=rngs, mutable=mutable
+            )
+        else:
+            out = discriminator.apply(variables, x, rngs=rngs, mutable=mutable)
         if mutable:
             return out[0], out[1]
         return out, vars_d
@@ -275,7 +284,8 @@ def build_train_step(
                     # these G-phase passes (train.py:265-276) — the updated
                     # (u, v) estimates are threaded out through the aux
                     p_, vars_d_after = dis_forward(
-                        _bf16(params_d), vars_d, _bf16(y_full), rng_gd, True
+                        _bf16(params_d), vars_d, _bf16(y_full), rng_gd, True,
+                        batch.get("rwd_starts_adv"),
                     )
                     p_ = _f32(p_)
                     adv_loss = criterion.gen_adv(p_)
@@ -283,7 +293,7 @@ def build_train_step(
                     if criterion.use_feat_match_loss:
                         p, vars_d_after = dis_forward(
                             _bf16(params_d), vars_d_after, _bf16(y),
-                            rng_gd, True,
+                            rng_gd, True, batch.get("rwd_starts_fm"),
                         )
                         p = _f32(p)
                         fm_loss = criterion.feat_match(p_, p)
@@ -324,8 +334,10 @@ def build_train_step(
 
             def d_loss_fn(p_d):
                 p_dc = _bf16(p_d)
-                p, vars1 = dis_forward(p_dc, vars_d, _bf16(y), rng_dr, True)
-                p_, vars2 = dis_forward(p_dc, vars1, _bf16(y_), rng_df, True)
+                p, vars1 = dis_forward(p_dc, vars_d, _bf16(y), rng_dr, True,
+                                       batch.get("rwd_starts_real"))
+                p_, vars2 = dis_forward(p_dc, vars1, _bf16(y_), rng_df, True,
+                                        batch.get("rwd_starts_fake"))
                 real_loss, fake_loss = criterion.dis_adv(_f32(p_), _f32(p))
                 dis_loss = real_loss + fake_loss
                 return dis_loss, (real_loss, fake_loss, vars2)
