@@ -164,3 +164,46 @@ def test_weight_norm_matches_torch_conv_transpose1d():
 
     assert y.shape == ty.shape
     np.testing.assert_allclose(np.asarray(y), ty, rtol=1e-4, atol=1e-4)
+
+
+def test_dense_groups_lowering_matches_grouped():
+    """Block-diagonal dense lowering of grouped convs (ops/conv.py) is
+    numerically identical to the grouped path — forward and gradients —
+    for the MelGAN-D downsample shapes (Cin//groups == 4)."""
+    import jax
+    from parallelwavegan_tpu.ops.conv import conv1d
+
+    rs = np.random.RandomState(0)
+    for cin, cout, k, stride, groups in [
+        (16, 64, 41, 4, 4),
+        (64, 256, 41, 4, 16),
+        (8, 8, 5, 1, 2),
+    ]:
+        x = jnp.asarray(rs.randn(2, 128, cin), jnp.float32)
+        w = jnp.asarray(rs.randn(k, cin // groups, cout) * 0.1, jnp.float32)
+        b = jnp.asarray(rs.randn(cout) * 0.1, jnp.float32)
+
+        def f_grouped(x, w, b):
+            return conv1d(x, w, b, stride=stride, padding=(k - 1) // 2,
+                          groups=groups, dense_groups=False)
+
+        def f_dense(x, w, b):
+            return conv1d(x, w, b, stride=stride, padding=(k - 1) // 2,
+                          groups=groups, dense_groups=True)
+
+        ya = f_grouped(x, w, b)
+        yb = f_dense(x, w, b)
+        np.testing.assert_allclose(np.asarray(ya), np.asarray(yb),
+                                   rtol=1e-5, atol=1e-5)
+
+        def loss(f):
+            def inner(x, w, b):
+                y = f(x, w, b)
+                return jnp.sum(jnp.sin(y))
+            return inner
+
+        ga = jax.grad(loss(f_grouped), argnums=(0, 1, 2))(x, w, b)
+        gb = jax.grad(loss(f_dense), argnums=(0, 1, 2))(x, w, b)
+        for a_, b_ in zip(ga, gb):
+            np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
+                                       rtol=1e-4, atol=1e-5)
