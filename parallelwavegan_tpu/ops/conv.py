@@ -80,6 +80,7 @@ def conv1d(
         if dense_groups is None:
             dense_groups = (
                 kernel.shape[1] <= _DENSE_GROUPS_MAX_BLOCK
+                and groups <= _DENSE_GROUPS_MAX_GROUPS
                 and jax.default_backend() == "tpu"
             )
         if dense_groups:
