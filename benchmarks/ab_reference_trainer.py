@@ -20,9 +20,11 @@ this framework's jitted train step on identical data:
     jax_default_matmul_precision=highest) so the only differences are
     implementation numerics, not hardware rounding.
 
-The compared families (hifigan / pwg / mb_melgan, the three VERDICT r2
-named) are deterministic given the batch — no dropout, no noise sampling
-inside the step — so per-step G/D losses are directly comparable.
+hifigan / pwg / mb_melgan / vqvae are deterministic given the batch —
+no dropout, no noise sampling inside the step — so per-step G/D losses
+are directly comparable. style_melgan samples noise and random D windows;
+both draws are pinned to shared values on the two sides (z fed explicitly,
+torch's np.random.randint monkeypatched to our precomputed indices).
 
 Spectral-norm schedule: with ``follow_official_norm`` the first
 HiFi-GAN scale discriminator carries spectral norm, and torch runs its
@@ -39,7 +41,8 @@ not librosa's filterbank tables (those are pinned by construction in
 ops/mel.py).
 
 Usage:
-  python benchmarks/ab_reference_trainer.py [--families hifigan,pwg,mb_melgan]
+  python benchmarks/ab_reference_trainer.py \
+      [--families hifigan,pwg,mb_melgan,style_melgan,vqvae]
       [--steps 100] [--out docs/TRAINER_AB.json]
 """
 

@@ -59,6 +59,11 @@ class _StyleMelGANTrunk(nn.Module):
     use_pallas_tade: bool = False
     pallas_tade_tile: int = 1024
     pallas_tade_min_t: int = 4096
+    # training path: custom_vjp fused TADE blocks (tade_train.py) — fused
+    # forward AND fused reverse kernels, grads ≤2e-4 vs the XLA path
+    use_pallas_tade_train: bool = False
+    pallas_tade_train_tile: int = 512
+    pallas_tade_train_min_t: int = 1024
 
     @nn.compact
     def __call__(self, c: Array, z: Array) -> Array:
@@ -98,10 +103,23 @@ class _StyleMelGANTrunk(nn.Module):
             )
             for i, scale in enumerate(self.upsample_scales)
         ]
-        if self.use_pallas_tade and self.channels == 64:
-            from parallelwavegan_tpu.ops.pallas_kernels.tade_decode import (
-                fused_tade_blocks,
-            )
+        use_fused = (
+            self.use_pallas_tade or self.use_pallas_tade_train
+        ) and self.channels == 64
+        if use_fused:
+            if self.use_pallas_tade_train:
+                from parallelwavegan_tpu.ops.pallas_kernels.tade_train import (
+                    fused_tade_blocks_train as fused_fn,
+                )
+
+                min_t, tile = (self.pallas_tade_train_min_t,
+                               self.pallas_tade_train_tile)
+            else:
+                from parallelwavegan_tpu.ops.pallas_kernels.tade_decode import (
+                    fused_tade_blocks as fused_fn,
+                )
+
+                min_t, tile = self.pallas_tade_min_t, self.pallas_tade_tile
 
             blocks = []
             for i, mod in enumerate(block_mods):
@@ -109,10 +127,9 @@ class _StyleMelGANTrunk(nn.Module):
                 dx = jnp.zeros(x.shape[:2] + (self.channels,), x.dtype)
                 dc = jnp.zeros(x.shape[:2] + (ach,), x.dtype)
                 blocks.append(mod(dx, dc, collect_weights=True))
-            x, c = fused_tade_blocks(
+            x, c = fused_fn(
                 x, c, blocks, gated_function=self.gated_function,
-                min_fused_t=self.pallas_tade_min_t,
-                t_tile=self.pallas_tade_tile,
+                min_fused_t=min_t, t_tile=tile,
             )
         else:
             for mod in block_mods:
@@ -156,6 +173,9 @@ class StyleMelGANGenerator(nn.Module):
     use_pallas_tade: bool = False
     pallas_tade_tile: int = 1024
     pallas_tade_min_t: int = 4096
+    use_pallas_tade_train: bool = False
+    pallas_tade_train_tile: int = 512
+    pallas_tade_train_min_t: int = 1024
 
     @nn.compact
     def __call__(self, c: Array, z: Array | None = None) -> Array:
@@ -181,6 +201,9 @@ class StyleMelGANGenerator(nn.Module):
             use_pallas_tade=self.use_pallas_tade,
             pallas_tade_tile=self.pallas_tade_tile,
             pallas_tade_min_t=self.pallas_tade_min_t,
+            use_pallas_tade_train=self.use_pallas_tade_train,
+            pallas_tade_train_tile=self.pallas_tade_train_tile,
+            pallas_tade_train_min_t=self.pallas_tade_train_min_t,
             name="trunk",
         )(c, z)
 
@@ -230,6 +253,9 @@ class DiscreteSymbolStyleMelGANGenerator(nn.Module):
     use_pallas_tade: bool = False
     pallas_tade_tile: int = 1024
     pallas_tade_min_t: int = 4096
+    use_pallas_tade_train: bool = False
+    pallas_tade_train_tile: int = 512
+    pallas_tade_train_min_t: int = 1024
 
     @nn.compact
     def __call__(self, c: Array, z: Array | None = None) -> Array:
@@ -273,6 +299,9 @@ class DiscreteSymbolStyleMelGANGenerator(nn.Module):
             use_pallas_tade=self.use_pallas_tade,
             pallas_tade_tile=self.pallas_tade_tile,
             pallas_tade_min_t=self.pallas_tade_min_t,
+            use_pallas_tade_train=self.use_pallas_tade_train,
+            pallas_tade_train_tile=self.pallas_tade_train_tile,
+            pallas_tade_train_min_t=self.pallas_tade_train_min_t,
             name="trunk",
         )(cond, z)
 

@@ -23,16 +23,16 @@ Packing: p = 2 consecutive samples share the 128-lane dimension
 (c0p = 64), so every conv tap is a dense (rows, 128) @ (128, 128) MXU
 matmul via the shift tables of hifigan_mrf.py. The 2C = 128-channel gate
 convs are computed as two 64-out packed convs (one per gate half). The
-channel softmax of the gated activation uses the shift-invariance of
-softmax: subtract the per-row max over ALL lanes (any per-row constant
-works), exponentiate, and divide by the per-phase group sum obtained
-with one block-diagonal ones matmul.
+channel softmax of the gated activation subtracts the per-phase-group
+row max (``_group_max`` — a shared per-row constant would let the other
+phase underflow to ssum=0), exponentiates, and divides by the per-phase
+group sum obtained with one block-diagonal ones matmul.
 
 Weights arrive FOLDED (weight norm applied), in lax.conv "TIO" layout
 (K, Cin, Cout), exactly what ``Conv1d(..., return_params=True)`` yields.
 
-Inference-only; the training path stays on XLA (see train/step.py's
-``mixed_precision`` for the training-throughput lever).
+Inference-only; the training twin with fused custom_vjp backward kernels
+is ops/pallas_kernels/tade_train.py.
 """
 
 from __future__ import annotations
@@ -182,10 +182,27 @@ def _apply_conv(src, off, length, shifts, wmat_ref, bias_ref):
     return z + bias_ref[:][None, :], off - s_min, new_len
 
 
+def _group_max(xa):
+    """Per-phase-group row max, broadcast to the packed lane layout.
+
+    The stabilizing constant must come from the same channel group the
+    softmax sums over: a single per-row max would let the OTHER phase's
+    exponentials underflow to all-zero (ssum=0 -> NaN) whenever the two
+    packed samples' logits differ by more than ~88. Implemented with
+    full-width masked reductions + a lane select (lane slicing + concat
+    produces layouts Mosaic cannot re-tile).
+    """
+    lane = lax.broadcasted_iota(jnp.int32, xa.shape, xa.ndim - 1)
+    is_lo = lane < C0P
+    ninf = jnp.full_like(xa, -jnp.inf)
+    lo = jnp.max(jnp.where(is_lo, xa, ninf), axis=-1, keepdims=True)
+    hi = jnp.max(jnp.where(is_lo, ninf, xa), axis=-1, keepdims=True)
+    return jnp.where(is_lo, lo, hi)
+
+
 def _softmax_tanh(xa, xb, ones_ref, gated_function: str):
     if gated_function == "softmax":
-        m = jnp.max(xa, axis=-1, keepdims=True)  # any per-row constant
-        e = jnp.exp(xa - m)
+        e = jnp.exp(xa - _group_max(xa))
         ssum = jnp.dot(e, ones_ref[:], preferred_element_type=jnp.float32)
         g = e / ssum
     else:
@@ -212,8 +229,8 @@ def _kernel_tade1(
     dc.wait()
 
     pos0 = i * t_tile - halo
-    mean = mean_ref[0][None, :]
-    rs = rs_ref[0][None, :]
+    mean = mean_ref[b][None, :]
+    rs = rs_ref[b][None, :]
 
     xn = (x_scr[:] - mean) * rs  # (rows, 128)
 
@@ -255,8 +272,8 @@ def _kernel_tade2(
         dma.start()
         dma.wait()
 
-    mean = mean_ref[0][None, :]
-    rs = rs_ref[0][None, :]
+    mean = mean_ref[b][None, :]
+    rs = rs_ref[b][None, :]
     xn2 = (x_scr[:] - mean) * rs
 
     def stretch(v):
@@ -361,9 +378,9 @@ def _run_tade1(xp, cp, t, blk, *, t_tile, gated_function, interpret):
         in_specs=(
             [pl.BlockSpec(memory_space=pltpu.ANY),
              pl.BlockSpec(memory_space=pltpu.ANY),
-             pl.BlockSpec((1, LANES), lambda bb, ii: (bb, 0),
+             pl.BlockSpec(mean.shape, lambda bb, ii: (0, 0),
                           memory_space=pltpu.VMEM),
-             pl.BlockSpec((1, LANES), lambda bb, ii: (bb, 0),
+             pl.BlockSpec(mean.shape, lambda bb, ii: (0, 0),
                           memory_space=pltpu.VMEM)]
             + _vmem_specs(ws)
         ),
@@ -431,7 +448,7 @@ def _run_tade2(x2p, c2p, rp, t, blk, *, t_tile, gated_function, interpret):
         grid=(b, n_tiles),
         in_specs=(
             [pl.BlockSpec(memory_space=pltpu.ANY)] * 3
-            + [pl.BlockSpec((1, LANES), lambda bb, ii: (bb, 0),
+            + [pl.BlockSpec(mean.shape, lambda bb, ii: (0, 0),
                             memory_space=pltpu.VMEM)] * 2
             + _vmem_specs(ws)
         ),
