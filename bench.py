@@ -63,7 +63,7 @@ def measure_decode_all(frames: int = 512, iters: int = 20) -> dict:
 
 
 def measure_train(conf_file: str, n_steps: int = 40, mixed: bool = False,
-                  want_flops: bool = True):
+                  want_flops: bool = True, batch_size: int = 16):
     """Full-scale G+D step for one config: steps/s, samples/s, FLOPs/step."""
     import jax
     import jax.numpy as jnp
@@ -79,7 +79,7 @@ def measure_train(conf_file: str, n_steps: int = 40, mixed: bool = False,
         config = yaml.safe_load(f)
     if mixed:
         config["mixed_precision"] = True
-    batch_size = 16  # one-chip shard of the data-parallel batch
+    # default 16 = one-chip shard of the data-parallel batch
     batch_max_steps = config["batch_max_steps"]
     frames = batch_max_steps // config["hop_size"]
 
@@ -141,12 +141,22 @@ def measure_train(conf_file: str, n_steps: int = 40, mixed: bool = False,
         state, m2 = d_step(state, batch, rng)
         return state, m2
 
-    state, _ = one_step(state, 0)  # compile both programs
-    jax.block_until_ready(state.params_g)
-    start = time.perf_counter()
-    for i in range(1, n_steps + 1):
+    # Timing must end with a DEVICE-GET of a final-step metric scalar:
+    # blocking on state.params_g alone does not force the full dependency
+    # chain on the tunneled axon runtime (passthrough outputs resolve
+    # early) and under-reports by >10x for some families. The final
+    # discriminator loss depends on every prior G and D update, so
+    # fetching it bounds the whole chain. Warm up with a fetched
+    # mini-loop first — the first fetched loop pays a one-time runtime
+    # cost (~seconds) that would otherwise pollute the measurement.
+    state, m = one_step(state, 0)  # compile both programs
+    for i in range(1, 4):  # warmup with the same fetch the timed loop does
         state, m = one_step(state, i)
-    jax.block_until_ready(state.params_g)
+    float(jax.device_get(m["discriminator_loss"]))
+    start = time.perf_counter()
+    for i in range(4, n_steps + 4):
+        state, m = one_step(state, i)
+    float(jax.device_get(m["discriminator_loss"]))
     elapsed = (time.perf_counter() - start) / n_steps
     steps_per_sec = 1.0 / elapsed
     return steps_per_sec, steps_per_sec * batch_size * batch_max_steps, flops

@@ -103,9 +103,13 @@ class _StyleMelGANTrunk(nn.Module):
             )
             for i, scale in enumerate(self.upsample_scales)
         ]
+        from parallelwavegan_tpu.ops.pallas_kernels import pallas_backend_ok
+
         use_fused = (
-            self.use_pallas_tade or self.use_pallas_tade_train
-        ) and self.channels == 64
+            (self.use_pallas_tade or self.use_pallas_tade_train)
+            and self.channels == 64
+            and pallas_backend_ok()
+        )
         if use_fused:
             if self.use_pallas_tade_train:
                 from parallelwavegan_tpu.ops.pallas_kernels.tade_train import (
