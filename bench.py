@@ -63,7 +63,8 @@ def measure_decode_all(frames: int = 512, iters: int = 20) -> dict:
 
 
 def measure_train(conf_file: str, n_steps: int = 40, mixed: bool = False,
-                  want_flops: bool = True, batch_size: int = 16):
+                  want_flops: bool = True, batch_size: int = 16,
+                  gen_overrides: dict | None = None):
     """Full-scale G+D step for one config: steps/s, samples/s, FLOPs/step."""
     import jax
     import jax.numpy as jnp
@@ -79,6 +80,10 @@ def measure_train(conf_file: str, n_steps: int = 40, mixed: bool = False,
         config = yaml.safe_load(f)
     if mixed:
         config["mixed_precision"] = True
+    if gen_overrides:
+        config["generator_params"] = dict(
+            config["generator_params"], **gen_overrides
+        )
     # default 16 = one-chip shard of the data-parallel batch
     batch_max_steps = config["batch_max_steps"]
     frames = batch_max_steps // config["hop_size"]
