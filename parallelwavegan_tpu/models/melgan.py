@@ -16,6 +16,7 @@ melgan.py:255-257); see ops/pqmf.py.
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Sequence
 
 import flax.linen as nn
@@ -54,6 +55,10 @@ class MelGANGenerator(nn.Module):
     use_weight_norm: bool = True
     use_causal_conv: bool = False
     use_pallas_stacks: bool = False  # fused residual-stack decode kernel
+    # training path: custom_vjp fused stacks (melgan_stack_train.py) —
+    # fused forward AND fused reverse kernels, grads <=2e-4 vs XLA
+    use_pallas_stacks_train: bool = False
+    pallas_stacks_train_tile: int = 512
 
     @nn.compact
     def __call__(self, c: Array) -> Array:
@@ -74,7 +79,7 @@ class MelGANGenerator(nn.Module):
         # Gated to the shapes/semantics the kernel covers; the deconvs
         # between stages stay in XLA (matmul-shaped, MXU-efficient).
         fuse_ok = (
-            self.use_pallas_stacks
+            (self.use_pallas_stacks or self.use_pallas_stacks_train)
             and not self.use_causal_conv
             and self.nonlinear_activation == "LeakyReLU"
             and (mode != "constant"
@@ -161,9 +166,18 @@ class MelGANGenerator(nn.Module):
                 else:
                     c = out
             if fuse_stage:
-                from parallelwavegan_tpu.ops.pallas_kernels.melgan_stack import (
-                    fused_melgan_stacks,
-                )
+                if self.use_pallas_stacks_train:
+                    from parallelwavegan_tpu.ops.pallas_kernels.melgan_stack_train import (  # noqa: E501
+                        fused_melgan_stacks_train,
+                    )
+
+                    fused_fn = functools.partial(
+                        fused_melgan_stacks_train,
+                        t_tile=self.pallas_stacks_train_tile)
+                else:
+                    from parallelwavegan_tpu.ops.pallas_kernels.melgan_stack import (  # noqa: E501
+                        fused_melgan_stacks as fused_fn,
+                    )
 
                 final = None
                 if (i == len(self.upsample_scales) - 1
@@ -178,7 +192,7 @@ class MelGANGenerator(nn.Module):
                         kernel_init=kinit,
                         name=f"layers_{li}",
                     )(c, return_params=True)
-                c = fused_melgan_stacks(
+                c = fused_fn(
                     c, stack_weights, final=final, slope=slope,
                     pad_mode=mode,
                 )

@@ -188,27 +188,28 @@ def _receptive_radius(stacks, final) -> int:
     return r
 
 
-def fused_melgan_stacks(
-    x, stacks, *, final=None, slope: float = 0.2,
-    pad_mode: str = "reflect", t_tile: int = 512, interpret: bool = False,
-):
-    """Fused sequential ResidualStack chain: x (B, T, C<=128) -> (B, T, C)
-    (or (B, T, out_ch) with ``final``). Exact vs the XLA twin including
-    reflect/edge padding (edge stitching; see module docstring)."""
-    interpret = interpret or jax.default_backend() != "tpu"
-    b, t, c0 = x.shape
-    c0p = max(32, _pow2_at_least(c0))
-    assert c0p <= LANES, "fused stacks need C <= 128"
-    p = LANES // c0p
+def substitute_biases(stacks, final, c0):
+    """Replace None biases with zeros so the packed kernels always have a
+    bias ref (no-bias configs)."""
 
-    def _b(bias, ch):  # no-bias configs: pack zeros
+    def _b(bias, ch):
         return bias if bias is not None else jnp.zeros((ch,), jnp.float32)
 
     stacks = [dict(st, bd=_b(st["bd"], c0), b1=_b(st["b1"], c0),
                    bs=_b(st["bs"], c0)) for st in stacks]
     if final is not None:
         final = (final[0], _b(final[1], final[0].shape[-1]))
+    return stacks, final
 
+
+def prepare_packed(stacks, final, p: int, c0p: int):
+    """Pack the chain's weights for the space-to-depth kernels.
+
+    Returns (flat_w, stack_shifts, final_shifts, hl, hr): the stacked
+    block-matrix weight list (per stack: wd, bd, w1, b1, ws, bs; then
+    wf, bf with ``final``), per-stack (dilated, 1x1) shift tuples, the
+    final conv's shift tuple (or None), and the chain's one-way packed-row
+    margins."""
     flat_w = []
     stack_shifts = []
     hl = hr = 0
@@ -240,6 +241,54 @@ def fused_melgan_stacks(
         flat_w += [jnp.stack([mf[s] for s in final_shifts]), bfp]
         hl += -final_shifts[0]
         hr += final_shifts[-1]
+    return flat_w, stack_shifts, final_shifts, hl, hr
+
+
+def fused_melgan_stacks(
+    x, stacks, *, final=None, slope: float = 0.2,
+    pad_mode: str = "reflect", t_tile: int = 512, interpret: bool = False,
+):
+    """Fused sequential ResidualStack chain: x (B, T, C<=128) -> (B, T, C)
+    (or (B, T, out_ch) with ``final``). Exact vs the XLA twin including
+    reflect/edge padding (edge stitching; see module docstring)."""
+    interpret = interpret or jax.default_backend() != "tpu"
+    b, t, c0 = x.shape
+    stacks, final = substitute_biases(stacks, final, c0)
+    y = fused_melgan_stacks_interior(
+        x, stacks, final=final, slope=slope, t_tile=t_tile,
+        interpret=interpret)
+
+    # edge stitching: the fused interior assumed zero halos; recompute the
+    # first/last R outputs with true (reflect/edge/constant) padding. The
+    # 3R window makes the opposite window edge invisible to those outputs.
+    r = _receptive_radius(stacks, final)
+    w = min(3 * r, t)
+    if r > 0 and t > 2 * r:
+        yl = melgan_stacks_xla(x[:, :w], stacks, final=final, slope=slope,
+                               pad_mode=pad_mode)[:, :r]
+        yr = melgan_stacks_xla(x[:, -w:], stacks, final=final, slope=slope,
+                               pad_mode=pad_mode)[:, -r:]
+        y = jnp.concatenate([yl, y[:, r:t - r], yr], axis=1)
+    elif r > 0:
+        y = melgan_stacks_xla(x, stacks, final=final, slope=slope,
+                              pad_mode=pad_mode)
+    return y
+
+
+def fused_melgan_stacks_interior(
+    x, stacks, *, final=None, slope: float = 0.2, t_tile: int = 512,
+    interpret: bool = False,
+):
+    """The fused chain with zero-pad ('same') edge semantics — exact in the
+    interior (beyond the chain's receptive radius); biases must be arrays
+    (``substitute_biases``)."""
+    b, t, c0 = x.shape
+    c0p = max(32, _pow2_at_least(c0))
+    assert c0p <= LANES, "fused stacks need C <= 128"
+    p = LANES // c0p
+
+    flat_w, stack_shifts, final_shifts, hl, hr = prepare_packed(
+        stacks, final, p, c0p)
     halo = _round_up(max(hl, hr, 1), 8)
 
     tile = min(t_tile, _round_up(-(-t // p), 8))
@@ -282,20 +331,4 @@ def fused_melgan_stacks(
         interpret=interpret,
     )(xp, *flat_w)
     out_ch = final[0].shape[-1] if final is not None else c0
-    y = out.reshape(b, rows_total * p, c0p)[:, :t, :out_ch]
-
-    # edge stitching: the fused interior assumed zero halos; recompute the
-    # first/last R outputs with true (reflect/edge/constant) padding. The
-    # 3R window makes the opposite window edge invisible to those outputs.
-    r = _receptive_radius(stacks, final)
-    w = min(3 * r, t)
-    if r > 0 and t > 2 * r:
-        yl = melgan_stacks_xla(x[:, :w], stacks, final=final, slope=slope,
-                               pad_mode=pad_mode)[:, :r]
-        yr = melgan_stacks_xla(x[:, -w:], stacks, final=final, slope=slope,
-                               pad_mode=pad_mode)[:, -r:]
-        y = jnp.concatenate([yl, y[:, r:t - r], yr], axis=1)
-    elif r > 0:
-        y = melgan_stacks_xla(x, stacks, final=final, slope=slope,
-                              pad_mode=pad_mode)
-    return y
+    return out.reshape(b, rows_total * p, c0p)[:, :t, :out_ch]
