@@ -108,8 +108,15 @@ def measure_train(conf_file: str, n_steps: int = 40, mixed: bool = False,
         ),
     }
     key = jax.random.key(0)
-    g_vars = jax.jit(gen.init)(key, batch["c"])
-    d_vars = jax.jit(dis.init)(key, batch["y"])
+    # dict rngs: StyleMelGAN draws z via the "noise" stream at init and
+    # its discriminator draws random windows via "rwd"; other families
+    # ignore the extra streams.
+    init_rngs = {"params": key, "noise": key, "rwd": key}
+    if config["generator_type"].startswith("StyleMelGAN"):
+        g_vars = jax.jit(gen.init)(init_rngs, batch["c"], None)
+    else:
+        g_vars = jax.jit(gen.init)(init_rngs, batch["c"])
+    d_vars = jax.jit(dis.init)(init_rngs, batch["y"])
     state = init_train_state(
         g_vars["params"], d_vars["params"], opt_g, opt_d,
         vars_g={k: v for k, v in g_vars.items() if k != "params"},
