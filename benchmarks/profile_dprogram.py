@@ -56,15 +56,11 @@ def _cost(jitted, *args):
 
 
 def _time(jitted, *args, iters=30):
-    import jax
+    # device-chained: queued dispatch under-reports on the tunneled
+    # runtime (passthrough outputs resolve early) — see timing.py
+    from timing import chained_time
 
-    out = jitted(*args)
-    jax.block_until_ready(out)
-    start = time.perf_counter()
-    for _ in range(iters):
-        out = jitted(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - start) / iters
+    return chained_time(jitted, *args, iters=iters)
 
 
 def main():

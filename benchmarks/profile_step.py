@@ -43,15 +43,11 @@ def _flops(jitted, *args):
 
 
 def _time(jitted, *args, iters=30):
-    import jax
+    # device-chained: queued dispatch under-reports on the tunneled
+    # runtime (passthrough outputs resolve early) — see timing.py
+    from timing import chained_time
 
-    out = jitted(*args)
-    jax.block_until_ready(out)
-    start = time.perf_counter()
-    for _ in range(iters):
-        out = jitted(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - start) / iters
+    return chained_time(jitted, *args, iters=iters)
 
 
 def main():
@@ -112,14 +108,17 @@ def main():
             rs.randn(batch_size, batch_max_steps, 1), jnp.float32
         )
     key = jax.random.key(0)
-    g_vars = jax.jit(gen.init)(
-        key, *(
-            (batch["z"], batch["c"])
-            if config["generator_type"] == "ParallelWaveGANGenerator"
-            else (batch["c"],)
-        )
-    )
-    d_vars = jax.jit(dis.init)(key, batch["y"])
+    # dict rngs: StyleMelGAN draws z via "noise" at init and its D draws
+    # random windows via "rwd"; other families ignore the extra streams.
+    init_rngs = {"params": key, "noise": key, "rwd": key}
+    if config["generator_type"] == "ParallelWaveGANGenerator":
+        g_init_args = (batch["z"], batch["c"])
+    elif config["generator_type"].startswith("StyleMelGAN"):
+        g_init_args = (batch["c"], None)
+    else:
+        g_init_args = (batch["c"],)
+    g_vars = jax.jit(gen.init)(init_rngs, *g_init_args)
+    d_vars = jax.jit(dis.init)(init_rngs, batch["y"])
     state = init_train_state(
         g_vars["params"], d_vars["params"], opt_g, opt_d,
         vars_g={k: v for k, v in g_vars.items() if k != "params"},

@@ -1,0 +1,64 @@
+"""Tunnel-safe device-chained timing for benchmark pieces.
+
+Queued-dispatch timing (`for _ in range(N): f(x)` then one
+block_until_ready) massively UNDER-reports on the tunneled axon runtime:
+passthrough outputs resolve early and the host can run ahead of the
+device, so a 100 ms program can "measure" 3 ms. The only trustworthy
+pattern chains the iterations inside ONE jitted program with a data
+dependence between steps and ends with a scalar fetch (see
+bench.py / .claude/skills/verify).
+
+``chained_time(fn, *args)`` compiles ``lax.fori_loop`` over ``fn`` where
+each iteration perturbs the float leaves of one argument by
+``carry * 1e-20`` (numerically a no-op, but XLA cannot hoist the body)
+and the carry is the mean of the first float output leaf.
+"""
+
+from __future__ import annotations
+
+import time
+
+
+def chained_time(fn, *args, iters: int = 30, perturb_arg: int | None = None):
+    """Seconds per call of ``fn(*args)``, device-chained.
+
+    ``perturb_arg``: index of the argument whose float leaves receive the
+    carry perturbation (default: the last array argument that is not a
+    PRNG key, usually the batch).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    if perturb_arg is None:
+        perturb_arg = 1 if len(args) > 1 else 0
+
+    def _perturb(tree, eps):
+        return jax.tree_util.tree_map(
+            lambda x: x + eps.astype(x.dtype)
+            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.inexact)
+            else x,
+            tree,
+        )
+
+    def _scalar(out):
+        for leaf in jax.tree_util.tree_leaves(out):
+            if hasattr(leaf, "dtype") and jnp.issubdtype(
+                leaf.dtype, jnp.inexact
+            ):
+                return jnp.mean(leaf).astype(jnp.float32)
+        return jnp.float32(0.0)
+
+    @jax.jit
+    def run(*a):
+        def body(_, carry):
+            a2 = list(a)
+            a2[perturb_arg] = _perturb(a2[perturb_arg], carry * 1e-20)
+            return _scalar(fn(*a2))
+
+        return lax.fori_loop(0, iters, body, jnp.float32(0.0))
+
+    float(jax.device_get(run(*args)))  # compile + warm
+    start = time.perf_counter()
+    float(jax.device_get(run(*args)))
+    return (time.perf_counter() - start) / iters

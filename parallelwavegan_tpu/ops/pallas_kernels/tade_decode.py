@@ -168,16 +168,22 @@ def _mask_rows(val, pos0, off, length, seq_len):
     return jnp.where(ok, val, jnp.zeros_like(val))
 
 
-def _apply_conv(src, off, length, shifts, wmat_ref, bias_ref):
+def _apply_conv(src, off, length, shifts, wmat_ref, bias_ref,
+                mxu_bf16: bool = False):
+    """Packed conv as shifted matmuls. ``mxu_bf16`` casts the dot
+    operands to bfloat16 (f32 accumulation via preferred_element_type):
+    2x MXU rate, matching XLA's own matmul precision under
+    ``mixed_precision: true``. Memory layouts stay f32."""
     s_min, s_max = shifts[0], shifts[-1]
     new_len = length - (s_max - s_min)
     z = None
     for si, s in enumerate(shifts):
-        contrib = jnp.dot(
-            lax.slice_in_dim(src, s - s_min, s - s_min + new_len, axis=0),
-            wmat_ref[si],
-            preferred_element_type=jnp.float32,
-        )
+        lhs = lax.slice_in_dim(src, s - s_min, s - s_min + new_len, axis=0)
+        rhs = wmat_ref[si]
+        if mxu_bf16:
+            lhs = lhs.astype(jnp.bfloat16)
+            rhs = rhs.astype(jnp.bfloat16)
+        contrib = jnp.dot(lhs, rhs, preferred_element_type=jnp.float32)
         z = contrib if z is None else z + contrib
     return z + bias_ref[:][None, :], off - s_min, new_len
 
@@ -213,6 +219,7 @@ def _softmax_tanh(xa, xb, ones_ref, gated_function: str):
 def _kernel_tade1(
     x_hbm, c_hbm, mean_ref, rs_ref, *refs, t_tile: int, halo: int,
     shifts9: tuple, seq_len: int, gated_function: str,
+    mxu_bf16: bool = False,
 ):
     (w_aux, b_aux, w_g1a, b_g1a, w_g1b, b_g1b, w_c1a, b_c1a, w_c1b, b_c1b,
      ones_ref, x_out, c_out, x_scr, c_scr, sem_x, sem_c) = refs
@@ -235,15 +242,20 @@ def _kernel_tade1(
     xn = (x_scr[:] - mean) * rs  # (rows, 128)
 
     cv = _mask_rows(c_scr[:], pos0, 0, rows, seq_len)
-    a, off_a, len_a = _apply_conv(cv, 0, rows, shifts9, w_aux, b_aux)
+    a, off_a, len_a = _apply_conv(cv, 0, rows, shifts9, w_aux, b_aux,
+                                  mxu_bf16)
     am = _mask_rows(a, pos0, off_a, len_a, seq_len)
-    cg1, off_g, len_g = _apply_conv(am, off_a, len_a, shifts9, w_g1a, b_g1a)
-    cg2, _, _ = _apply_conv(am, off_a, len_a, shifts9, w_g1b, b_g1b)
+    cg1, off_g, len_g = _apply_conv(am, off_a, len_a, shifts9, w_g1a, b_g1a,
+                                    mxu_bf16)
+    cg2, _, _ = _apply_conv(am, off_a, len_a, shifts9, w_g1b, b_g1b,
+                            mxu_bf16)
     xn_s = lax.slice_in_dim(xn, off_g, off_g + len_g, axis=0)
     y = cg1 * xn_s + cg2
     ym = _mask_rows(y, pos0, off_g, len_g, seq_len)
-    xa, off_t, len_t = _apply_conv(ym, off_g, len_g, shifts9, w_c1a, b_c1a)
-    xb, _, _ = _apply_conv(ym, off_g, len_g, shifts9, w_c1b, b_c1b)
+    xa, off_t, len_t = _apply_conv(ym, off_g, len_g, shifts9, w_c1a, b_c1a,
+                                   mxu_bf16)
+    xb, _, _ = _apply_conv(ym, off_g, len_g, shifts9, w_c1b, b_c1b,
+                           mxu_bf16)
     x2 = _softmax_tanh(xa, xb, ones_ref, gated_function)
 
     rel = halo - off_t
@@ -257,7 +269,7 @@ def _kernel_tade1(
 def _kernel_tade2(
     x_hbm, c_hbm, r_hbm, mean_ref, rs_ref, *refs, t_tile_in: int,
     halo_in: int, scale: int, shifts9: tuple, shifts_d: tuple,
-    seq_out: int, gated_function: str,
+    seq_out: int, gated_function: str, mxu_bf16: bool = False,
 ):
     (w_aux, b_aux, w_g2a, b_g2a, w_g2b, b_g2b, w_c2a, b_c2a, w_c2b, b_c2b,
      ones_ref, x_out, c_out, x_scr, c_scr, r_scr, sem_x, sem_c,
@@ -297,15 +309,20 @@ def _kernel_tade2(
     ru = stretch(r_scr[:])
 
     cv = _mask_rows(cu, pos0, 0, rows, seq_out)
-    a2, off_a, len_a = _apply_conv(cv, 0, rows, shifts9, w_aux, b_aux)
+    a2, off_a, len_a = _apply_conv(cv, 0, rows, shifts9, w_aux, b_aux,
+                                   mxu_bf16)
     am = _mask_rows(a2, pos0, off_a, len_a, seq_out)
-    cg1, off_g, len_g = _apply_conv(am, off_a, len_a, shifts9, w_g2a, b_g2a)
-    cg2, _, _ = _apply_conv(am, off_a, len_a, shifts9, w_g2b, b_g2b)
+    cg1, off_g, len_g = _apply_conv(am, off_a, len_a, shifts9, w_g2a, b_g2a,
+                                    mxu_bf16)
+    cg2, _, _ = _apply_conv(am, off_a, len_a, shifts9, w_g2b, b_g2b,
+                            mxu_bf16)
     up_s = lax.slice_in_dim(up, off_g, off_g + len_g, axis=0)
     y = cg1 * up_s + cg2
     ym = _mask_rows(y, pos0, off_g, len_g, seq_out)
-    xa, off_t, len_t = _apply_conv(ym, off_g, len_g, shifts_d, w_c2a, b_c2a)
-    xb, _, _ = _apply_conv(ym, off_g, len_g, shifts_d, w_c2b, b_c2b)
+    xa, off_t, len_t = _apply_conv(ym, off_g, len_g, shifts_d, w_c2a, b_c2a,
+                                   mxu_bf16)
+    xb, _, _ = _apply_conv(ym, off_g, len_g, shifts_d, w_c2b, b_c2b,
+                           mxu_bf16)
     g = _softmax_tanh(xa, xb, ones_ref, gated_function)
     r_s = lax.slice_in_dim(ru, off_t, off_t + len_t, axis=0)
     xo = r_s + g
@@ -344,7 +361,8 @@ def _pad_halo(xp, halo: int):
     return jnp.pad(xp, ((0, 0), (halo, halo), (0, 0)))
 
 
-def _run_tade1(xp, cp, t, blk, *, t_tile, gated_function, interpret):
+def _run_tade1(xp, cp, t, blk, *, t_tile, gated_function, interpret,
+               mxu_bf16=False):
     b, rows_tot, _ = xp.shape
     halo = 8
     shifts9, w_aux, b_aux = _stacked(blk["aux1_w"], blk["aux1_b"], 1)
@@ -369,7 +387,7 @@ def _run_tade1(xp, cp, t, blk, *, t_tile, gated_function, interpret):
           ones]
     kernel = functools.partial(
         _kernel_tade1, t_tile=tile, halo=halo, shifts9=shifts9,
-        seq_len=t, gated_function=gated_function,
+        seq_len=t, gated_function=gated_function, mxu_bf16=mxu_bf16,
     )
     rows = tile + 2 * halo
     x2, c2 = pl.pallas_call(
@@ -408,7 +426,8 @@ def _run_tade1(xp, cp, t, blk, *, t_tile, gated_function, interpret):
     return x2[:, :rows_tot], c2[:, :rows_tot]
 
 
-def _run_tade2(x2p, c2p, rp, t, blk, *, t_tile, gated_function, interpret):
+def _run_tade2(x2p, c2p, rp, t, blk, *, t_tile, gated_function,
+               interpret, mxu_bf16=False):
     b, rows_tot, _ = x2p.shape
     scale, d = int(blk["scale"]), int(blk["dilation"])
     halo_in = 8 // scale if scale > 1 else 8
@@ -439,7 +458,7 @@ def _run_tade2(x2p, c2p, rp, t, blk, *, t_tile, gated_function, interpret):
     kernel = functools.partial(
         _kernel_tade2, t_tile_in=tile_in, halo_in=halo_in, scale=scale,
         shifts9=shifts9, shifts_d=shifts_d, seq_out=t * scale,
-        gated_function=gated_function,
+        gated_function=gated_function, mxu_bf16=mxu_bf16,
     )
     rows_in = tile_in + 2 * halo_in
     tile_out = scale * tile_in

@@ -167,12 +167,17 @@ def _gate_vjp(xa, xb, dg, ones_ref, gated_function: str):
     return dxa, dxb
 
 
-def _apply_conv_t(dz, new_len, length, shifts, wmat_ref):
+def _apply_conv_t(dz, new_len, length, shifts, wmat_ref,
+                  mxu_bf16: bool = False):
     """Adjoint of ``_apply_conv`` w.r.t. its input frame (length rows)."""
     s_min = shifts[0]
     out = None
+    dz_c = dz.astype(jnp.bfloat16) if mxu_bf16 else dz
     for si, s in enumerate(shifts):
-        contrib = jnp.dot(dz, wmat_ref[si].T,
+        w_t = wmat_ref[si].T
+        if mxu_bf16:
+            w_t = w_t.astype(jnp.bfloat16)
+        contrib = jnp.dot(dz_c, w_t,
                           preferred_element_type=jnp.float32)
         placed = jnp.pad(
             contrib, ((s - s_min, length - new_len - (s - s_min)), (0, 0))
@@ -181,14 +186,21 @@ def _apply_conv_t(dz, new_len, length, shifts, wmat_ref):
     return out
 
 
-def _conv_wgrads(src, dz_own, new_len, shifts, dw_ref, db_ref):
-    """Accumulate packed-matrix + bias grads for one conv into out refs."""
+def _conv_wgrads(src, dz_own, new_len, shifts, dw_ref, db_ref,
+                 mxu_bf16: bool = False):
+    """Accumulate packed-matrix + bias grads for one conv into out refs.
+
+    With ``mxu_bf16`` the dot operands are bfloat16 but the accumulator
+    refs stay f32 (grid-step partial sums accumulate in full precision).
+    """
     s_min = shifts[0]
+    dz_c = dz_own.astype(jnp.bfloat16) if mxu_bf16 else dz_own
     for si, s in enumerate(shifts):
-        dw_ref[si] += jnp.dot(
-            lax.slice_in_dim(src, s - s_min, s - s_min + new_len, axis=0).T,
-            dz_own, preferred_element_type=jnp.float32,
-        )
+        lhs = lax.slice_in_dim(
+            src, s - s_min, s - s_min + new_len, axis=0).T
+        if mxu_bf16:
+            lhs = lhs.astype(jnp.bfloat16)
+        dw_ref[si] += jnp.dot(lhs, dz_c, preferred_element_type=jnp.float32)
     db_ref[0] += jnp.sum(dz_own, axis=0)
 
 
@@ -211,7 +223,7 @@ def _stretch_2d(v, scale: int):
 def _kernel_tade1_bwd(
     x_hbm, c_hbm, dx2_hbm, da_hbm, mean_ref, rs_ref, *refs,
     t_tile: int, halo: int, shifts9: tuple, seq_len: int,
-    gated_function: str,
+    gated_function: str, mxu_bf16: bool = False,
 ):
     (w_aux, b_aux, w_g1a, b_g1a, w_g1b, b_g1b, w_c1a, b_c1a, w_c1b, b_c1b,
      ones_ref,
@@ -229,6 +241,12 @@ def _kernel_tade1_bwd(
                     dw_c1a, db_c1a, dw_c1b, db_c1b):
             ref[...] = jnp.zeros(ref.shape, ref.dtype)
 
+    apply_conv = functools.partial(_apply_conv, mxu_bf16=mxu_bf16)
+    apply_conv_t = functools.partial(_apply_conv_t,
+                                     mxu_bf16=mxu_bf16)
+    conv_wgrads = functools.partial(_conv_wgrads,
+                                    mxu_bf16=mxu_bf16)
+
     rows = t_tile + 2 * halo
     for hbm, scr, sem in ((x_hbm, x_scr, s0), (c_hbm, c_scr, s1),
                           (dx2_hbm, dx2_scr, s2), (da_hbm, da_scr, s3)):
@@ -244,42 +262,42 @@ def _kernel_tade1_bwd(
 
     # ---- forward recompute (decode _kernel_tade1's exact op order) ------
     cv = _mask_rows(c_scr[:], pos0, 0, rows, seq_len)
-    a, off_a, len_a = _apply_conv(cv, 0, rows, shifts9, w_aux, b_aux)
+    a, off_a, len_a = apply_conv(cv, 0, rows, shifts9, w_aux, b_aux)
     am = _mask_rows(a, pos0, off_a, len_a, seq_len)
-    cg1, off_g, len_g = _apply_conv(am, off_a, len_a, shifts9, w_g1a, b_g1a)
-    cg2, _, _ = _apply_conv(am, off_a, len_a, shifts9, w_g1b, b_g1b)
+    cg1, off_g, len_g = apply_conv(am, off_a, len_a, shifts9, w_g1a, b_g1a)
+    cg2, _, _ = apply_conv(am, off_a, len_a, shifts9, w_g1b, b_g1b)
     xn_s = lax.slice_in_dim(xn, off_g, off_g + len_g, axis=0)
     y = cg1 * xn_s + cg2
     ym = _mask_rows(y, pos0, off_g, len_g, seq_len)
-    ta, off_t, len_t = _apply_conv(ym, off_g, len_g, shifts9, w_c1a, b_c1a)
-    tb, _, _ = _apply_conv(ym, off_g, len_g, shifts9, w_c1b, b_c1b)
+    ta, off_t, len_t = apply_conv(ym, off_g, len_g, shifts9, w_c1a, b_c1a)
+    tb, _, _ = apply_conv(ym, off_g, len_g, shifts9, w_c1b, b_c1b)
 
     # ---- reverse -------------------------------------------------------
     lo, hi = i * t_tile, (i + 1) * t_tile
     dx2v = lax.slice_in_dim(dx2_scr[:], off_t, off_t + len_t, axis=0)
     dta, dtb = _gate_vjp(ta, tb, dx2v, ones_ref, gated_function)
-    _conv_wgrads(ym, _owned_rows(dta, pos0, off_t, len_t, lo, hi, seq_len),
+    conv_wgrads(ym, _owned_rows(dta, pos0, off_t, len_t, lo, hi, seq_len),
                  len_t, shifts9, dw_c1a, db_c1a)
-    _conv_wgrads(ym, _owned_rows(dtb, pos0, off_t, len_t, lo, hi, seq_len),
+    conv_wgrads(ym, _owned_rows(dtb, pos0, off_t, len_t, lo, hi, seq_len),
                  len_t, shifts9, dw_c1b, db_c1b)
-    dym = _apply_conv_t(dta, len_t, len_g, shifts9, w_c1a)
-    dym = dym + _apply_conv_t(dtb, len_t, len_g, shifts9, w_c1b)
+    dym = apply_conv_t(dta, len_t, len_g, shifts9, w_c1a)
+    dym = dym + apply_conv_t(dtb, len_t, len_g, shifts9, w_c1b)
     dy = _mask_rows(dym, pos0, off_g, len_g, seq_len)  # ym = mask(y)
     dcg1 = dy * xn_s
     dcg2 = dy
     dxn_f = dy * cg1
-    _conv_wgrads(am, _owned_rows(dcg1, pos0, off_g, len_g, lo, hi, seq_len),
+    conv_wgrads(am, _owned_rows(dcg1, pos0, off_g, len_g, lo, hi, seq_len),
                  len_g, shifts9, dw_g1a, db_g1a)
-    _conv_wgrads(am, _owned_rows(dcg2, pos0, off_g, len_g, lo, hi, seq_len),
+    conv_wgrads(am, _owned_rows(dcg2, pos0, off_g, len_g, lo, hi, seq_len),
                  len_g, shifts9, dw_g1b, db_g1b)
-    dam = _apply_conv_t(dcg1, len_g, len_a, shifts9, w_g1a)
-    dam = dam + _apply_conv_t(dcg2, len_g, len_a, shifts9, w_g1b)
+    dam = apply_conv_t(dcg1, len_g, len_a, shifts9, w_g1a)
+    dam = dam + apply_conv_t(dcg2, len_g, len_a, shifts9, w_g1b)
     # a feeds g1 through the mask (am) AND is the block's c_out (raw)
     da = _mask_rows(dam, pos0, off_a, len_a, seq_len) + lax.slice_in_dim(
         da_scr[:], off_a, off_a + len_a, axis=0)
-    _conv_wgrads(cv, _owned_rows(da, pos0, off_a, len_a, lo, hi, seq_len),
+    conv_wgrads(cv, _owned_rows(da, pos0, off_a, len_a, lo, hi, seq_len),
                  len_a, shifts9, dw_aux, db_aux)
-    dcv = _apply_conv_t(da, len_a, rows, shifts9, w_aux)
+    dcv = apply_conv_t(da, len_a, rows, shifts9, w_aux)
 
     dxn_full = jnp.pad(dxn_f, ((off_g, rows - off_g - len_g), (0, 0)))
     dxn_out[0] = lax.slice_in_dim(dxn_full, halo, halo + t_tile, axis=0)
@@ -290,6 +308,7 @@ def _kernel_tade2_bwd(
     x2_hbm, a_hbm, dxo_hbm, dco_hbm, mean_ref, rs_ref, *refs,
     t_tile_in: int, halo_in: int, scale: int, shifts9: tuple,
     shifts_d: tuple, seq_out: int, gated_function: str,
+    mxu_bf16: bool = False,
 ):
     (w_aux, b_aux, w_g2a, b_g2a, w_g2b, b_g2b, w_c2a, b_c2a, w_c2b, b_c2b,
      ones_ref,
@@ -306,6 +325,12 @@ def _kernel_tade2_bwd(
         for ref in (dw_aux, db_aux, dw_g2a, db_g2a, dw_g2b, db_g2b,
                     dw_c2a, db_c2a, dw_c2b, db_c2b):
             ref[...] = jnp.zeros(ref.shape, ref.dtype)
+
+    apply_conv = functools.partial(_apply_conv, mxu_bf16=mxu_bf16)
+    apply_conv_t = functools.partial(_apply_conv_t,
+                                     mxu_bf16=mxu_bf16)
+    conv_wgrads = functools.partial(_conv_wgrads,
+                                    mxu_bf16=mxu_bf16)
 
     rows_in = t_tile_in + 2 * halo_in
     rows = scale * rows_in
@@ -328,41 +353,41 @@ def _kernel_tade2_bwd(
     up = _stretch_2d(xn2, scale)
     cu = _stretch_2d(a_scr[:], scale)
     cv = _mask_rows(cu, pos0, 0, rows, seq_out)
-    a2, off_a, len_a = _apply_conv(cv, 0, rows, shifts9, w_aux, b_aux)
+    a2, off_a, len_a = apply_conv(cv, 0, rows, shifts9, w_aux, b_aux)
     am = _mask_rows(a2, pos0, off_a, len_a, seq_out)
-    cg1, off_g, len_g = _apply_conv(am, off_a, len_a, shifts9, w_g2a, b_g2a)
-    cg2, _, _ = _apply_conv(am, off_a, len_a, shifts9, w_g2b, b_g2b)
+    cg1, off_g, len_g = apply_conv(am, off_a, len_a, shifts9, w_g2a, b_g2a)
+    cg2, _, _ = apply_conv(am, off_a, len_a, shifts9, w_g2b, b_g2b)
     up_s = lax.slice_in_dim(up, off_g, off_g + len_g, axis=0)
     y = cg1 * up_s + cg2
     ym = _mask_rows(y, pos0, off_g, len_g, seq_out)
-    ta, off_t, len_t = _apply_conv(ym, off_g, len_g, shifts_d, w_c2a, b_c2a)
-    tb, _, _ = _apply_conv(ym, off_g, len_g, shifts_d, w_c2b, b_c2b)
+    ta, off_t, len_t = apply_conv(ym, off_g, len_g, shifts_d, w_c2a, b_c2a)
+    tb, _, _ = apply_conv(ym, off_g, len_g, shifts_d, w_c2b, b_c2b)
 
     # ---- reverse -------------------------------------------------------
     lo, hi = scale * i * t_tile_in, scale * (i + 1) * t_tile_in
     dxov = lax.slice_in_dim(dxo_scr[:], off_t, off_t + len_t, axis=0)
     dta, dtb = _gate_vjp(ta, tb, dxov, ones_ref, gated_function)
-    _conv_wgrads(ym, _owned_rows(dta, pos0, off_t, len_t, lo, hi, seq_out),
+    conv_wgrads(ym, _owned_rows(dta, pos0, off_t, len_t, lo, hi, seq_out),
                  len_t, shifts_d, dw_c2a, db_c2a)
-    _conv_wgrads(ym, _owned_rows(dtb, pos0, off_t, len_t, lo, hi, seq_out),
+    conv_wgrads(ym, _owned_rows(dtb, pos0, off_t, len_t, lo, hi, seq_out),
                  len_t, shifts_d, dw_c2b, db_c2b)
-    dym = _apply_conv_t(dta, len_t, len_g, shifts_d, w_c2a)
-    dym = dym + _apply_conv_t(dtb, len_t, len_g, shifts_d, w_c2b)
+    dym = apply_conv_t(dta, len_t, len_g, shifts_d, w_c2a)
+    dym = dym + apply_conv_t(dtb, len_t, len_g, shifts_d, w_c2b)
     dy = _mask_rows(dym, pos0, off_g, len_g, seq_out)
     dcg1 = dy * up_s
     dcg2 = dy
     dup_s = dy * cg1
-    _conv_wgrads(am, _owned_rows(dcg1, pos0, off_g, len_g, lo, hi, seq_out),
+    conv_wgrads(am, _owned_rows(dcg1, pos0, off_g, len_g, lo, hi, seq_out),
                  len_g, shifts9, dw_g2a, db_g2a)
-    _conv_wgrads(am, _owned_rows(dcg2, pos0, off_g, len_g, lo, hi, seq_out),
+    conv_wgrads(am, _owned_rows(dcg2, pos0, off_g, len_g, lo, hi, seq_out),
                  len_g, shifts9, dw_g2b, db_g2b)
-    dam = _apply_conv_t(dcg1, len_g, len_a, shifts9, w_g2a)
-    dam = dam + _apply_conv_t(dcg2, len_g, len_a, shifts9, w_g2b)
+    dam = apply_conv_t(dcg1, len_g, len_a, shifts9, w_g2a)
+    dam = dam + apply_conv_t(dcg2, len_g, len_a, shifts9, w_g2b)
     da2 = _mask_rows(dam, pos0, off_a, len_a, seq_out) + lax.slice_in_dim(
         dco_scr[:], off_a, off_a + len_a, axis=0)
-    _conv_wgrads(cv, _owned_rows(da2, pos0, off_a, len_a, lo, hi, seq_out),
+    conv_wgrads(cv, _owned_rows(da2, pos0, off_a, len_a, lo, hi, seq_out),
                  len_a, shifts9, dw_aux, db_aux)
-    dcv = _apply_conv_t(da2, len_a, rows, shifts9, w_aux)
+    dcv = apply_conv_t(da2, len_a, rows, shifts9, w_aux)
 
     # emit OUTPUT-rate grads; the nearest-x2 stretch transpose (a lane
     # slice + concat Mosaic cannot re-tile in-kernel) runs on the host as
@@ -405,7 +430,7 @@ def _wgrad_outs(shift_sets):
 
 
 def _run_tade1_bwd(xp, cp, dx2p, dap, mean, rs, w, *, t, t_tile,
-                   gated_function, interpret):
+                   gated_function, interpret, mxu_bf16=False):
     b, rows_tot, _ = xp.shape
     halo = 16
     shifts9, w_aux, b_aux = _stacked(w["aux1_w"], w["aux1_b"], 1)
@@ -430,7 +455,7 @@ def _run_tade1_bwd(xp, cp, dx2p, dap, mean, rs, w, *, t, t_tile,
           ones]
     kernel = functools.partial(
         _kernel_tade1_bwd, t_tile=tile, halo=halo, shifts9=shifts9,
-        seq_len=t, gated_function=gated_function,
+        seq_len=t, gated_function=gated_function, mxu_bf16=mxu_bf16,
     )
     rows = tile + 2 * halo
     wg_specs, wg_shapes = _wgrad_outs([shifts9] * 5)
@@ -485,7 +510,8 @@ def _run_tade1_bwd(xp, cp, dx2p, dap, mean, rs, w, *, t, t_tile,
 
 
 def _run_tade2_bwd(x2p, ap, dxop, dcop, mean, rs, w, scale, dilation, *,
-                   t, t_tile, gated_function, interpret):
+                   t, t_tile, gated_function, interpret,
+                   mxu_bf16=False):
     b, rows_in_tot, _ = x2p.shape
     halo_out_needed = 2 * (2 + 2 + 2 * dilation)
     halo_in = _round_up(-(-halo_out_needed // scale), 8)
@@ -521,7 +547,7 @@ def _run_tade2_bwd(x2p, ap, dxop, dcop, mean, rs, w, scale, dilation, *,
     kernel = functools.partial(
         _kernel_tade2_bwd, t_tile_in=tile_in, halo_in=halo_in, scale=scale,
         shifts9=shifts9, shifts_d=shifts_d, seq_out=t * scale,
-        gated_function=gated_function,
+        gated_function=gated_function, mxu_bf16=mxu_bf16,
     )
     rows_in = tile_in + 2 * halo_in
     rows = scale * rows_in
@@ -589,7 +615,7 @@ def _run_tade2_bwd(x2p, ap, dxop, dcop, mean, rs, w, scale, dilation, *,
 
 
 def _block_fwd_impl(x, c, w, scale, dilation, gated_function, t_tile,
-                    interpret):
+                    interpret, mxu_bf16):
     t = x.shape[1]
     rows = t // P
     wf = {k: w[k].astype(jnp.float32) for k in _WEIGHT_KEYS}
@@ -598,30 +624,35 @@ def _block_fwd_impl(x, c, w, scale, dilation, gated_function, t_tile,
     blk = dict(wf)
     blk["scale"], blk["dilation"] = scale, dilation
     x2p, ap = _run_tade1(xp, cp, t, blk, t_tile=t_tile,
-                         gated_function=gated_function, interpret=interpret)
+                         gated_function=gated_function, interpret=interpret,
+                         mxu_bf16=mxu_bf16)
     x3p, c3p = _run_tade2(x2p, ap, xp, t, blk, t_tile=t_tile,
-                          gated_function=gated_function, interpret=interpret)
+                          gated_function=gated_function, interpret=interpret,
+                          mxu_bf16=mxu_bf16)
     x_out = _unpack_time(x3p, t * scale, C0P).astype(x.dtype)
     c_out = _unpack_time(c3p, t * scale, C0P).astype(c.dtype)
     return (x_out, c_out), (xp, cp, x2p, ap, dict(w),
                             jnp.zeros((0,), x.dtype), jnp.zeros((0,), c.dtype))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
 def tade_block_train(x, c, w, scale, dilation, gated_function="softmax",
-                     t_tile=512, interpret=False):
+                     t_tile=512, interpret=False, mxu_bf16=False):
     """Differentiable fused TADEResBlock: (x, c, w) -> (x_out, c_out)."""
     return _block_fwd_impl(
-        x, c, w, scale, dilation, gated_function, t_tile, interpret)[0]
+        x, c, w, scale, dilation, gated_function, t_tile, interpret,
+        mxu_bf16)[0]
 
 
-def _block_fwd(x, c, w, scale, dilation, gated_function, t_tile, interpret):
+def _block_fwd(x, c, w, scale, dilation, gated_function, t_tile, interpret,
+               mxu_bf16):
     return _block_fwd_impl(
-        x, c, w, scale, dilation, gated_function, t_tile, interpret)
+        x, c, w, scale, dilation, gated_function, t_tile, interpret,
+        mxu_bf16)
 
 
-def _block_bwd(scale, dilation, gated_function, t_tile, interpret, res,
-               grads):
+def _block_bwd(scale, dilation, gated_function, t_tile, interpret, mxu_bf16,
+               res, grads):
     xp, cp, x2p, ap, worig, xmark, cmark = res
     wf = {k: worig[k].astype(jnp.float32) for k in _WEIGHT_KEYS}
     dxo, dco = grads
@@ -635,11 +666,13 @@ def _block_bwd(scale, dilation, gated_function, t_tile, interpret, res,
 
     dxn2p, dap, dw2 = _run_tade2_bwd(
         x2p, ap, dxop, dcop, mean2, rs2, wf, scale, dilation, t=t,
-        t_tile=t_tile, gated_function=gated_function, interpret=interpret)
+        t_tile=t_tile, gated_function=gated_function, interpret=interpret,
+        mxu_bf16=mxu_bf16)
     dx2p = _in_bwd_packed(dxn2p, x2p, mean2, rs2, t)
     dxn1p, dcp, dw1 = _run_tade1_bwd(
         xp, cp, dx2p, dap, mean1, rs1, wf, t=t, t_tile=t_tile,
-        gated_function=gated_function, interpret=interpret)
+        gated_function=gated_function, interpret=interpret,
+        mxu_bf16=mxu_bf16)
     dxp = _in_bwd_packed(dxn1p, xp, mean1, rs1, t) + _stretch_t_packed(
         dxop, scale)
     dx = _unpack_time(dxp, t, C0P).astype(xmark.dtype)
@@ -676,9 +709,13 @@ def fused_tade_blocks_train(
         )
         if use_kernel:
             w = {k: blk[k] for k in _WEIGHT_KEYS}
+            # bf16 activations (mixed_precision: true) -> bf16 MXU
+            # operands inside the kernels, matching XLA's matmul
+            # precision in that mode; f32 activations keep f32 MXU.
+            mxu_bf16 = x.dtype == jnp.bfloat16
             x, c = tade_block_train(
                 x, c, w, scale, int(blk["dilation"]), gated_function,
-                t_tile, bool(interpret))
+                t_tile, bool(interpret), mxu_bf16)
         else:
             x, c = tade_block_xla(x, c, blk, gated_function=gated_function)
     return x, c

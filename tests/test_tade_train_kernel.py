@@ -165,3 +165,46 @@ def test_generator_grads_with_tade_train_flag():
             np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-3,
             err_msg=jax.tree_util.keystr(path),
         )
+
+
+def test_fused_tade_bf16_mxu_grads_close():
+    """bf16 activations (mixed-precision mode) flip the kernels' MXU
+    operands to bfloat16; values/grads must stay within bf16 rounding of
+    the f32 reference (structural errors would be O(1), not O(1e-2))."""
+    scales = ((2, 2), (1, 2))
+    rs = np.random.RandomState(5)
+    weight_list = [
+        {k: v for k, v in _rand_block(rs, C, s, d).items()
+         if k in _WEIGHT_KEYS}
+        for (s, d) in scales
+    ]
+    x = jnp.asarray(rs.randn(2, 64, C) * 0.5, jnp.float32)
+    c = jnp.asarray(rs.randn(2, 64, C) * 0.5, jnp.float32)
+
+    def loss_ref(x, c, ws):
+        xo, co = _chain_xla(x, c, ws, scales, "softmax")
+        return jnp.mean(xo ** 2) + 0.5 * jnp.mean(co ** 2)
+
+    def loss_bf16(x, c, ws):
+        xo, co = _chain_fused(
+            x.astype(jnp.bfloat16), c.astype(jnp.bfloat16), ws, scales,
+            "softmax", 16)
+        return jnp.mean(xo.astype(jnp.float32) ** 2) + 0.5 * jnp.mean(
+            co.astype(jnp.float32) ** 2)
+
+    v_ref, g_ref = jax.value_and_grad(loss_ref, argnums=(0, 1, 2))(
+        x, c, weight_list)
+    v_b, g_b = jax.value_and_grad(loss_bf16, argnums=(0, 1, 2))(
+        x, c, weight_list)
+    np.testing.assert_allclose(float(v_ref), float(v_b), rtol=2e-2)
+    for name, a, b in zip(["dx", "dc", "dweights"], g_ref, g_b):
+        for (path, va), vb in zip(
+            jax.tree_util.tree_leaves_with_path(a),
+            jax.tree_util.tree_leaves(b),
+        ):
+            va = np.asarray(va, np.float32)
+            vb = np.asarray(vb, np.float32)
+            denom = max(float(np.max(np.abs(va))), 1e-3)
+            rel = float(np.max(np.abs(va - vb))) / denom
+            assert rel < 6e-2, (
+                f"{name}{jax.tree_util.keystr(path)}: rel={rel}")
