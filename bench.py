@@ -64,8 +64,16 @@ def measure_decode_all(frames: int = 512, iters: int = 20) -> dict:
 
 def measure_train(conf_file: str, n_steps: int = 40, mixed: bool = False,
                   want_flops: bool = True, batch_size: int = 16,
-                  gen_overrides: dict | None = None):
-    """Full-scale G+D step for one config: steps/s, samples/s, FLOPs/step."""
+                  gen_overrides: dict | None = None,
+                  config_overrides: dict | None = None):
+    """Full-scale G+D step for one config: steps/s, samples/s, FLOPs/step.
+
+    NOTE the train-start gates: configs with
+    ``discriminator_train_start_steps > 0`` (StyleMelGAN 100k, MB-MelGAN
+    200k) run a cheaper G-only regime from a fresh state. Pass
+    ``config_overrides={"discriminator_train_start_steps": 0}`` to
+    measure the steady-state (adversarial + D update) regime instead.
+    """
     import jax
     import jax.numpy as jnp
     import yaml
@@ -80,13 +88,18 @@ def measure_train(conf_file: str, n_steps: int = 40, mixed: bool = False,
         config = yaml.safe_load(f)
     if mixed:
         config["mixed_precision"] = True
+    if config_overrides:
+        config.update(config_overrides)
     if gen_overrides:
         config["generator_params"] = dict(
             config["generator_params"], **gen_overrides
         )
     # default 16 = one-chip shard of the data-parallel batch
     batch_max_steps = config["batch_max_steps"]
-    frames = batch_max_steps // config["hop_size"]
+    # PWG-style generators consume aux_context_window extra frames on
+    # each side of c (the collater provides them; data/collater.py:102)
+    acw = config["generator_params"].get("aux_context_window", 0)
+    frames = batch_max_steps // config["hop_size"] + 2 * acw
 
     gen = get_model_class(config["generator_type"])(
         **config["generator_params"]
@@ -112,7 +125,12 @@ def measure_train(conf_file: str, n_steps: int = 40, mixed: bool = False,
     # its discriminator draws random windows via "rwd"; other families
     # ignore the extra streams.
     init_rngs = {"params": key, "noise": key, "rwd": key}
-    if config["generator_type"].startswith("StyleMelGAN"):
+    if config["generator_type"] == "ParallelWaveGANGenerator":
+        batch["z"] = jnp.asarray(
+            rs.randn(batch_size, batch_max_steps, 1), jnp.float32
+        )
+        g_vars = jax.jit(gen.init)(init_rngs, batch["z"], batch["c"])
+    elif config["generator_type"].startswith("StyleMelGAN"):
         g_vars = jax.jit(gen.init)(init_rngs, batch["c"], None)
     else:
         g_vars = jax.jit(gen.init)(init_rngs, batch["c"])
