@@ -172,7 +172,9 @@ def measure_train(conf_file: str, n_steps: int = 40, mixed: bool = False,
 
             for prog in (g_step, d_step):
                 flops_analytic += matmul_conv_flops(prog, state, batch, key)
-        except Exception:
+        except Exception as exc:  # make a broken counter visible in logs
+            print(f"WARNING: analytic FLOP counter failed: {exc!r}",
+                  file=sys.stderr)
             flops_analytic = 0.0
 
     def one_step(state, i):

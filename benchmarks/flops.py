@@ -51,9 +51,12 @@ def _conv_flops(eqn) -> float:
     return 2.0 * out_elems * kernel_spatial * in_ch_per_group
 
 
-def _sub_jaxprs(params):
+def _sub_jaxprs(eqn):
     """Yield (jaxpr, multiplier) pairs nested in an eqn's params."""
-    length = params.get("length")  # scan trip count
+    params = eqn.params
+    # trip-count multiplication applies ONLY to scan's body jaxpr; other
+    # primitives may carry a 'length' param with different semantics
+    length = params.get("length") if eqn.primitive.name == "scan" else None
     for key, val in params.items():
         vals = val if isinstance(val, (list, tuple)) else (val,)
         for v in vals:
@@ -81,7 +84,7 @@ def count_jaxpr(jaxpr, mult: float = 1.0) -> float:
         elif name == "pallas_call":
             continue  # opt-in fused kernels: counted in docs, not here
         else:
-            for sub, m in _sub_jaxprs(eqn.params):
+            for sub, m in _sub_jaxprs(eqn):
                 flops += count_jaxpr(sub, m)
     return flops * mult
 

@@ -23,15 +23,30 @@ def chained_time(fn, *args, iters: int = 30, perturb_arg: int | None = None):
     """Seconds per call of ``fn(*args)``, device-chained.
 
     ``perturb_arg``: index of the argument whose float leaves receive the
-    carry perturbation (default: the last array argument that is not a
-    PRNG key, usually the batch).
+    carry perturbation (default: the last argument containing inexact
+    leaves — PRNG keys are integer-typed so they never match — usually
+    the batch).
     """
     import jax
     import jax.numpy as jnp
     from jax import lax
 
+    def _has_inexact(tree):
+        return any(
+            hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.inexact)
+            for x in jax.tree_util.tree_leaves(tree)
+        )
+
     if perturb_arg is None:
-        perturb_arg = 1 if len(args) > 1 else 0
+        perturb_arg = next(
+            (i for i in reversed(range(len(args))) if _has_inexact(args[i])),
+            0,
+        )
+    if not _has_inexact(args[perturb_arg]):
+        raise ValueError(
+            f"chained_time: perturb_arg={perturb_arg} has no inexact leaves; "
+            "the chain would not prevent XLA from hoisting the loop body"
+        )
 
     def _perturb(tree, eps):
         return jax.tree_util.tree_map(

@@ -254,6 +254,14 @@ def fused_melgan_stacks(
     interpret = interpret or jax.default_backend() != "tpu"
     b, t, c0 = x.shape
     stacks, final = substitute_biases(stacks, final, c0)
+
+    # short inputs (t <= 2R) are entirely edge: the XLA twin computes the
+    # whole output — skip the interior kernel launch/compile outright.
+    r = _receptive_radius(stacks, final)
+    if r > 0 and t <= 2 * r:
+        return melgan_stacks_xla(x, stacks, final=final, slope=slope,
+                                 pad_mode=pad_mode)
+
     y = fused_melgan_stacks_interior(
         x, stacks, final=final, slope=slope, t_tile=t_tile,
         interpret=interpret)
@@ -261,17 +269,13 @@ def fused_melgan_stacks(
     # edge stitching: the fused interior assumed zero halos; recompute the
     # first/last R outputs with true (reflect/edge/constant) padding. The
     # 3R window makes the opposite window edge invisible to those outputs.
-    r = _receptive_radius(stacks, final)
-    w = min(3 * r, t)
-    if r > 0 and t > 2 * r:
+    if r > 0:
+        w = min(3 * r, t)
         yl = melgan_stacks_xla(x[:, :w], stacks, final=final, slope=slope,
                                pad_mode=pad_mode)[:, :r]
         yr = melgan_stacks_xla(x[:, -w:], stacks, final=final, slope=slope,
                                pad_mode=pad_mode)[:, -r:]
         y = jnp.concatenate([yl, y[:, r:t - r], yr], axis=1)
-    elif r > 0:
-        y = melgan_stacks_xla(x, stacks, final=final, slope=slope,
-                              pad_mode=pad_mode)
     return y
 
 
