@@ -112,12 +112,15 @@ class InferenceModel:
         return self._jit_cache[key]
 
     def inference(self, c, normalize_before: bool = False, rng=None,
-                  f0=None, excitation=None):
+                  f0=None, excitation=None, ds=None):
         """mel (T', num_mels) -> waveform (T' * upsample_factor, out).
 
         Mirrors each reference generator's ``inference`` (noise drawn
         internally, mel context padding, PQMF synthesis, trim to the
-        nominal length).
+        nominal length). ``ds``: optional ground-truth durations for the
+        duration generator (reference ``inference(..., ds=ds)``,
+        /root/reference/parallel_wavegan/models/hifigan.py discrete
+        duration variant) — bypasses the duration predictor.
         """
         if self.generator_type == "UHiFiGANGenerator":
             return self._inference_uhifigan(
@@ -128,7 +131,7 @@ class InferenceModel:
             "DiscreteSymbolStyleMelGANGenerator",
             "DiscreteSymbolDurationGenerator",
         ):
-            return self._inference_discrete(np.asarray(c), rng)
+            return self._inference_discrete(np.asarray(c), rng, ds=ds)
         c = np.asarray(c, dtype=np.float32)
         if normalize_before:
             assert self.mean is not None, "stats are not registered"
@@ -495,8 +498,9 @@ class InferenceModel:
         y = self._jit_cache[key](jnp.asarray(excitation), jnp.asarray(c))
         return np.asarray(jax.device_get(y))[: t * factor]
 
-    def _inference_discrete(self, c, rng):
-        """Discrete tokens (T, 1|2) -> wave; duration variant predicts ds."""
+    def _inference_discrete(self, c, rng, ds=None):
+        """Discrete tokens (T, 1|2) -> wave; duration variant predicts ds
+        (or uses caller-supplied ground-truth ``ds``)."""
         import jax
 
         if c.ndim == 1:
@@ -519,7 +523,10 @@ class InferenceModel:
                     )
                 )
             ds_d, emb_d = self._jit_cache[key](cj)
-            ds = np.asarray(jax.device_get(ds_d))[0]
+            if ds is None:
+                ds = np.asarray(jax.device_get(ds_d))[0]
+            else:
+                ds = np.asarray(ds, dtype=np.int32).reshape(-1)
             emb = np.asarray(jax.device_get(emb_d))[0]
             expanded = repeat_by_durations_np(emb, ds)
             t_frames = expanded.shape[0]
