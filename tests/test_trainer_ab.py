@@ -8,7 +8,7 @@ tolerance. This is the offline substitute for pretrained-checkpoint
 parity (network-blocked): it pins the trainer, all losses, the converter
 AND the optimizer semantics end to end.
 
-Full 100-step, 3-family report: ``benchmarks/ab_reference_trainer.py``
+Full 100-step, 5-family report: ``benchmarks/ab_reference_trainer.py``
 -> docs/TRAINER_AB.json (committed).
 """
 
@@ -30,14 +30,20 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from benchmarks.ab_reference_trainer import run_ab  # noqa: E402
 
 # float32 conv/optimizer noise accumulates with step count; these bounds
-# are ~10x the measured drift of the 100-step committed report
+# are ~10x the measured drift of the 100-step committed report.
+# style_melgan's noise + random-window D couples both sides to the same
+# pinned rng draws but amplifies reduction-order noise faster (committed
+# 100-step max_rel 8.6e-2, first-10 1.0e-2) — hence its looser bound.
 FIRST_STEP_TOL = 1e-4
-DRIFT_TOL = 5e-3
 STEPS = 12
 
 
-@pytest.mark.parametrize("family", ["hifigan", "pwg"])
-def test_losses_track_reference_trainer(family, tmp_path):
+@pytest.mark.parametrize(
+    "family,drift_tol",
+    [("hifigan", 5e-3), ("pwg", 5e-3), ("style_melgan", 5e-2),
+     ("vqvae", 5e-3)],
+)
+def test_losses_track_reference_trainer(family, drift_tol, tmp_path):
     res = run_ab(family, STEPS, outdir=str(tmp_path))
     summary = res["summary"]
     assert summary, "no overlapping loss keys between the two trainers"
@@ -45,4 +51,4 @@ def test_losses_track_reference_trainer(family, tmp_path):
         # identical weights + identical batch => step 1 is forward-only
         # numerics (conv reduction order), no optimizer drift yet
         assert s["first_step_rel"] < FIRST_STEP_TOL, (key, s)
-        assert s["max_rel"] < DRIFT_TOL, (key, s)
+        assert s["max_rel"] < drift_tol, (key, s)
