@@ -11,11 +11,19 @@ keys regression-track every published margin (VERDICT r3 #5):
                                 fused decode kernels, 512 frames
   train_steps_per_sec           full-scale HiFi-GAN V1 G+D step, f32
   train_steps_per_sec_bf16      same step with mixed_precision: true
-  mb_melgan_train_steps_per_sec MB-MelGAN v2 G+D step, f32 (thin margin)
-  mb_melgan_train_steps_per_sec_bf16
+  {mb_melgan,melgan,pwg,style_melgan}_train_steps_per_sec{,_bf16}
+                                full-scale G+D steps for the other four
+                                families (r5: all five regression-tracked,
+                                VERDICT r4 weak-#2)
   samples_per_sec               HiFi-GAN f32 steps/s * batch * crop
   train_flops_per_step          XLA cost analysis of the two phase programs
   mfu / mfu_bf16                flops * steps/s / v5e peak (197e12 bf16)
+
+All train numbers are the steady-state adversarial regime by
+construction: this harness builds the G phase WITH its D forwards
+(adversarial + feat-match) and the D phase explicitly, independent of
+the configs' {generator,discriminator}_train_start_steps warmup gates —
+the per-family batch sizes below match the BASELINE.md full-scale table.
 
 Baselines: decode < 0.005 RTF (BASELINE.json north star); training
 reference point is TITAN V ~1.45 steps/s implied by the 2.5M-step
@@ -221,6 +229,21 @@ def main():
     mb_steps_bf16, mb_samples_bf16, _ = measure_train(
         "multi_band_melgan.v2.yaml", mixed=True, want_flops=False
     )
+    # remaining three families at the reference's own batch sizes
+    # (melgan.v1: 8 x 25600, pwg.v1: 6 x 25600, style_melgan.v1:
+    # 32 x 22528 — value-exact conf parity)
+    extra = {}
+    for fam, conf, bs in (
+        ("melgan", "melgan.v1.yaml", 8),
+        ("pwg", "parallel_wavegan.v1.yaml", 6),
+        ("style_melgan", "style_melgan.v1.yaml", 32),
+    ):
+        for mixed in (False, True):
+            sps, _, _ = measure_train(
+                conf, mixed=mixed, want_flops=False, batch_size=bs
+            )
+            key = f"{fam}_train_steps_per_sec" + ("_bf16" if mixed else "")
+            extra[key] = round(sps, 3)
     flops_xla, flops_an = flops["xla"], flops["analytic"]
     mfu = (flops_xla * steps_per_sec / V5E_PEAK_FLOPS) if flops_xla else None
     mfu_bf16 = (
@@ -256,6 +279,7 @@ def main():
                     max(mb_samples, mb_samples_bf16)
                     / REF_MB_SAMPLES_PER_SEC, 2
                 ),
+                **extra,
                 "train_flops_per_step": flops_xla if flops_xla else None,
                 "train_flops_analytic_per_step": flops_an
                 if flops_an else None,

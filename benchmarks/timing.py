@@ -57,23 +57,40 @@ def chained_time(fn, *args, iters: int = 30, perturb_arg: int | None = None):
         )
 
     def _scalar(out):
-        for leaf in jax.tree_util.tree_leaves(out):
-            if hasattr(leaf, "dtype") and jnp.issubdtype(
-                leaf.dtype, jnp.inexact
-            ):
-                return jnp.mean(leaf).astype(jnp.float32)
-        return jnp.float32(0.0)
+        # Combine the FIRST and LAST inexact leaves: a train-step's
+        # output tuple often leads with passthrough params (independent
+        # of the perturbed batch) — carrying only those would let XLA
+        # collapse the loop; metrics/last outputs depend on everything.
+        leaves = [
+            leaf for leaf in jax.tree_util.tree_leaves(out)
+            if hasattr(leaf, "dtype")
+            and jnp.issubdtype(leaf.dtype, jnp.inexact)
+        ]
+        if not leaves:
+            return jnp.float32(0.0)
+        acc = jnp.mean(leaves[0]).astype(jnp.float32)
+        if len(leaves) > 1:
+            acc = acc + jnp.mean(leaves[-1]).astype(jnp.float32)
+        return acc
 
     @jax.jit
-    def run(*a):
+    def run(salt, *a):
         def body(_, carry):
             a2 = list(a)
-            a2[perturb_arg] = _perturb(a2[perturb_arg], carry * 1e-20)
+            a2[perturb_arg] = _perturb(
+                a2[perturb_arg], (carry + salt) * 1e-20)
             return _scalar(fn(*a2))
 
         return lax.fori_loop(0, iters, body, jnp.float32(0.0))
 
-    float(jax.device_get(run(*args)))  # compile + warm
+    # The timed call MUST NOT be input-identical to the warm call: the
+    # tunneled runtime memoizes repeat dispatches of the same executable
+    # with the same buffers and returns without executing — an identical
+    # second call measures only the ~26 ms tunnel RTT (found round 5 via
+    # impossible >1000 TF/s "measurements"). The salt keeps the program
+    # identical (one compile) while making every invocation's inputs
+    # fresh.
+    float(jax.device_get(run(jnp.float32(0.0), *args)))  # compile + warm
     start = time.perf_counter()
-    float(jax.device_get(run(*args)))
+    float(jax.device_get(run(jnp.float32(1.0), *args)))
     return (time.perf_counter() - start) / iters

@@ -71,11 +71,13 @@ def _pad(x, r: int, mode: str):
 
 
 def _conv(x, w, b, d: int = 1):
+    # harmonize dtypes: under mixed precision activations may arrive
+    # bf16 while caller-kept weights are f32 (conv requires equal dtypes)
     out = lax.conv_general_dilated(
-        x, w, (1,), [(0, 0)], rhs_dilation=(d,),
+        x, w.astype(x.dtype), (1,), [(0, 0)], rhs_dilation=(d,),
         dimension_numbers=("NTC", "TIO", "NTC"),
     )
-    return out if b is None else out + b
+    return out if b is None else out + b.astype(x.dtype)
 
 
 def melgan_stacks_xla(x, stacks, *, final=None, slope: float = 0.2,
@@ -107,7 +109,7 @@ def melgan_stacks_xla(x, stacks, *, final=None, slope: float = 0.2,
 def _kernel_stacks(
     x_hbm, *refs, t_tile: int, halo: int, p: int, c0p: int,
     stack_shifts: tuple, final_shifts, slope: float, seq_len: int,
-    n_weights: int,
+    n_weights: int, mxu_bf16: bool = False,
 ):
     w_refs = refs[:n_weights]
     out = refs[n_weights]
@@ -136,12 +138,13 @@ def _kernel_stacks(
         new_len = length - (s_max - s_min)
         z = None
         for si, s in enumerate(shifts):
-            contrib = jnp.dot(
-                lax.slice_in_dim(src, s - s_min, s - s_min + new_len,
-                                 axis=0),
-                wmat_ref[si],
-                preferred_element_type=jnp.float32,
-            )
+            lhs = lax.slice_in_dim(src, s - s_min, s - s_min + new_len,
+                                   axis=0)
+            rhs = wmat_ref[si]
+            if mxu_bf16:
+                lhs = lhs.astype(jnp.bfloat16)
+                rhs = rhs.astype(jnp.bfloat16)
+            contrib = jnp.dot(lhs, rhs, preferred_element_type=jnp.float32)
             z = contrib if z is None else z + contrib
         return z + bias_ref[:][None, :], off - s_min, new_len
 
@@ -293,13 +296,19 @@ def fused_melgan_stacks_interior(
 
     flat_w, stack_shifts, final_shifts, hl, hr = prepare_packed(
         stacks, final, p, c0p)
-    halo = _round_up(max(hl, hr, 1), 8)
+    # bf16-RESIDENT mode (round 5): bf16 input keeps HBM traffic, DMA
+    # and VMEM scratch bf16; dots run with bf16 operands + f32
+    # accumulators; row geometry follows the bf16 sublane granule.
+    io_dtype = (jnp.bfloat16 if x.dtype == jnp.bfloat16
+                else jnp.float32)
+    granule = 16 if io_dtype == jnp.bfloat16 else 8
+    halo = _round_up(max(hl, hr, 1), granule)
 
-    tile = min(t_tile, _round_up(-(-t // p), 8))
+    tile = min(t_tile, _round_up(-(-t // p), granule))
     n_tiles = -(-t // (p * tile))
     rows_total = n_tiles * tile
     xp = jnp.pad(
-        x.astype(jnp.float32),
+        x.astype(io_dtype),
         ((0, 0), (0, rows_total * p - t), (0, c0p - c0)),
     ).reshape(b, rows_total, LANES)
     xp = jnp.pad(xp, ((0, 0), (halo, halo), (0, 0)))
@@ -314,6 +323,7 @@ def fused_melgan_stacks_interior(
         _kernel_stacks, t_tile=tile, halo=halo, p=p, c0p=c0p,
         stack_shifts=tuple(stack_shifts), final_shifts=final_shifts,
         slope=slope, seq_len=t, n_weights=len(flat_w),
+        mxu_bf16=io_dtype == jnp.bfloat16,
     )
     rows = tile + 2 * halo
     out = pl.pallas_call(
@@ -326,7 +336,7 @@ def fused_melgan_stacks_interior(
         ),
         out_shape=jax.ShapeDtypeStruct((b, rows_total, LANES), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((rows, LANES), jnp.float32),
+            pltpu.VMEM((rows, LANES), io_dtype),
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(

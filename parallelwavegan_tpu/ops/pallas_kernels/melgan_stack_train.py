@@ -101,7 +101,7 @@ def _unpack_wgrad(dmats, dbias, k: int, d: int, p: int, c0p: int,
 def _kernel_stacks_bwd(
     x_hbm, dy_hbm, *refs, t_tile: int, halo: int, p: int, c0p: int,
     stack_shifts: tuple, final_shifts, slope: float, seq_len: int,
-    n_weights: int,
+    n_weights: int, mxu_bf16: bool = False,
 ):
     w_refs = refs[:n_weights]
     dx_out = refs[n_weights]
@@ -150,14 +150,18 @@ def _kernel_stacks_bwd(
         new_len = length - (s_max - s_min)
         z = None
         for si, s in enumerate(shifts):
-            contrib = jnp.dot(
-                lax.slice_in_dim(src, s - s_min, s - s_min + new_len,
-                                 axis=0),
-                wmat_ref[si],
-                preferred_element_type=jnp.float32,
-            )
+            lhs = lax.slice_in_dim(src, s - s_min, s - s_min + new_len,
+                                   axis=0)
+            rhs = wmat_ref[si]
+            if mxu_bf16:
+                lhs = lhs.astype(jnp.bfloat16)
+                rhs = rhs.astype(jnp.bfloat16)
+            contrib = jnp.dot(lhs, rhs, preferred_element_type=jnp.float32)
             z = contrib if z is None else z + contrib
         return z + bias_ref[:][None, :], off - s_min, new_len
+
+    apply_conv_t = functools.partial(_apply_conv_t, mxu_bf16=mxu_bf16)
+    conv_wgrads = functools.partial(_conv_wgrads, mxu_bf16=mxu_bf16)
 
     # ---- forward recompute (decode _kernel_stacks' exact op order) -------
     wi = 0
@@ -201,8 +205,8 @@ def _kernel_stacks_bwd(
         dwf, dbf = prev_grefs(2)
         dyv = lax.slice_in_dim(dy_scr[:], of, of + lf, axis=0)
         dzf = dyv * (1.0 - yf * yf)
-        _conv_wgrads(t_f, owned(dzf, of, lf), lf, final_shifts, dwf, dbf)
-        dt = _apply_conv_t(dzf, lf, length, final_shifts, wf)
+        conv_wgrads(t_f, owned(dzf, of, lf), lf, final_shifts, dwf, dbf)
+        dt = apply_conv_t(dzf, lf, length, final_shifts, wf)
         dxv = mask_rows(dt, off, length) * _dleaky(xv, slope)
     else:
         dxv = lax.slice_in_dim(dy_scr[:], off, off + length, axis=0)
@@ -215,21 +219,22 @@ def _kernel_stacks_bwd(
         # dxv at the stack's output frame (o1, l1)
         dz2_own = owned(dxv, o1, l1)
         a = _leaky(z, slope)
-        _conv_wgrads(a, dz2_own, l1, s1s, dw1, db1)
+        conv_wgrads(a, dz2_own, l1, s1s, dw1, db1)
         x_slice = lax.slice_in_dim(xv_l, o1 - off_l, o1 - off_l + l1, axis=0)
-        _conv_wgrads(x_slice, dz2_own, l1, (0,), dws, dbs)
-        da = _apply_conv_t(dxv, l1, l1, s1s, w1)
+        conv_wgrads(x_slice, dz2_own, l1, (0,), dws, dbs)
+        da = apply_conv_t(dxv, l1, l1, s1s, w1)
         dz = da * _dleaky(z, slope)
         t_in = mask_rows(_leaky(xv_l, slope), off_l, len_l)
-        _conv_wgrads(t_in, owned(dz, o1, l1), l1, sd, dwd, dbd)
-        dt = _apply_conv_t(dz, l1, len_l, sd, wd)
-        dx_skip = _apply_conv_t(dxv, l1, l1, (0,), ws)
+        conv_wgrads(t_in, owned(dz, o1, l1), l1, sd, dwd, dbd)
+        dt = apply_conv_t(dz, l1, len_l, sd, wd)
+        dx_skip = apply_conv_t(dxv, l1, l1, (0,), ws)
         dx_skip = jnp.pad(
             dx_skip, ((o1 - off_l, len_l - (o1 - off_l) - l1), (0, 0)))
         dxv = mask_rows(dt, off_l, len_l) * _dleaky(xv_l, slope) + dx_skip
         off, length = off_l, len_l
 
-    dx_out[0] = lax.slice_in_dim(dxv, halo, halo + t_tile, axis=0)
+    dx_out[0] = lax.slice_in_dim(
+        dxv, halo, halo + t_tile, axis=0).astype(dx_out.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -243,16 +248,20 @@ def _run_stacks_bwd(x, dy, stacks, final, slope, t_tile, interpret):
     p = LANES // c0p
     flat_w, stack_shifts, final_shifts, hl, hr = prepare_packed(
         stacks, final, p, c0p)
-    halo = _round_up(2 * max(hl, hr, 1), 8)
+    # bf16-resident: bf16 activations/cotangents in HBM + VMEM scratch,
+    # f32 weight-grad accumulators (KERNELS.md round-5 section)
+    io_dtype = (jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32)
+    granule = 16 if io_dtype == jnp.bfloat16 else 8
+    halo = _round_up(2 * max(hl, hr, 1), granule)
 
-    tile = min(t_tile, _round_up(-(-t // p), 8))
+    tile = min(t_tile, _round_up(-(-t // p), granule))
     n_tiles = -(-t // (p * tile))
     rows_total = n_tiles * tile
 
     def prep(v):
         ch = v.shape[-1]
         vp = jnp.pad(
-            v.astype(jnp.float32),
+            v.astype(io_dtype),
             ((0, 0), (0, rows_total * p - v.shape[1]), (0, c0p - ch)),
         ).reshape(b, rows_total, LANES)
         return jnp.pad(vp, ((0, 0), (halo, halo), (0, 0)))
@@ -275,6 +284,7 @@ def _run_stacks_bwd(x, dy, stacks, final, slope, t_tile, interpret):
         _kernel_stacks_bwd, t_tile=tile, halo=halo, p=p, c0p=c0p,
         stack_shifts=tuple(stack_shifts), final_shifts=final_shifts,
         slope=slope, seq_len=t, n_weights=len(flat_w),
+        mxu_bf16=io_dtype == jnp.bfloat16,
     )
     rows = tile + 2 * halo
     outs = pl.pallas_call(
@@ -286,10 +296,10 @@ def _run_stacks_bwd(x, dy, stacks, final, slope, t_tile, interpret):
             memory_space=pltpu.VMEM,
         )] + g_specs,
         out_shape=[jax.ShapeDtypeStruct(
-            (b, rows_total, LANES), jnp.float32)] + g_shapes,
+            (b, rows_total, LANES), io_dtype)] + g_shapes,
         scratch_shapes=[
-            pltpu.VMEM((rows, LANES), jnp.float32),
-            pltpu.VMEM((rows, LANES), jnp.float32),
+            pltpu.VMEM((rows, LANES), io_dtype),
+            pltpu.VMEM((rows, LANES), io_dtype),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],

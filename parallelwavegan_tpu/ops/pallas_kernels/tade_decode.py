@@ -66,10 +66,11 @@ P = LANES // C0P  # 2 samples per packed row
 def _conv(x, w, b, d: int = 1):
     k = w.shape[0]
     pad = (k - 1) // 2 * d
+    # harmonize dtypes: bf16 activations with caller-kept f32 weights
     return lax.conv_general_dilated(
-        x, w, (1,), [(pad, pad)], rhs_dilation=(d,),
+        x, w.astype(x.dtype), (1,), [(pad, pad)], rhs_dilation=(d,),
         dimension_numbers=("NTC", "TIO", "NTC"),
-    ) + b
+    ) + b.astype(x.dtype)
 
 
 def _gate(xa, xb, gated_function: str):
@@ -131,7 +132,8 @@ def _packed_stats(xp, t: int):
     the kernels can normalize with one FMA per element.
     """
     rows = t // P  # t is always a multiple of P here
-    v = xp[:, :rows, :]
+    # f32 accumulation even for bf16-resident packed activations
+    v = xp[:, :rows, :].astype(jnp.float32)
     mean_l = jnp.mean(v, axis=1)  # (B, 128)
     sq_l = jnp.mean(v * v, axis=1)
     mean_c = 0.5 * (mean_l[:, :C0P] + mean_l[:, C0P:])
@@ -364,6 +366,12 @@ def _pad_halo(xp, halo: int):
 def _run_tade1(xp, cp, t, blk, *, t_tile, gated_function, interpret,
                mxu_bf16=False):
     b, rows_tot, _ = xp.shape
+    # bf16-RESIDENT mode (round 5): when the packed arrays arrive in
+    # bfloat16 the HBM traffic, DMA and VMEM scratch all stay bf16 —
+    # the stated bf16-regime limiter of the r4 kernels (KERNELS.md).
+    # Row geometry then follows the bf16 sublane granule (16).
+    io_dtype = xp.dtype
+    granule = 16 if io_dtype == jnp.bfloat16 else 8
     halo = 8
     shifts9, w_aux, b_aux = _stacked(blk["aux1_w"], blk["aux1_b"], 1)
     (w1a, b1a), (w1b, b1b) = _split_gate_weights(blk["g1_w"], blk["g1_b"])
@@ -376,7 +384,7 @@ def _run_tade1(xp, cp, t, blk, *, t_tile, gated_function, interpret,
     mean, rs = _packed_stats(xp, t)
     ones = _group_ones()
 
-    tile = min(t_tile, _round_up(rows_tot, 8))
+    tile = min(t_tile, _round_up(rows_tot, granule))
     n_tiles = -(-rows_tot // tile)
     t_rows = n_tiles * tile
     xp_p = _pad_halo(jnp.pad(xp, ((0, 0), (0, t_rows - rows_tot), (0, 0))),
@@ -413,8 +421,8 @@ def _run_tade1(xp, cp, t, blk, *, t_tile, gated_function, interpret,
             jax.ShapeDtypeStruct((b, t_rows, LANES), xp.dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((rows, LANES), jnp.float32),
-            pltpu.VMEM((rows, LANES), jnp.float32),
+            pltpu.VMEM((rows, LANES), io_dtype),
+            pltpu.VMEM((rows, LANES), io_dtype),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
@@ -429,8 +437,13 @@ def _run_tade1(xp, cp, t, blk, *, t_tile, gated_function, interpret,
 def _run_tade2(x2p, c2p, rp, t, blk, *, t_tile, gated_function,
                interpret, mxu_bf16=False):
     b, rows_tot, _ = x2p.shape
+    io_dtype = x2p.dtype
+    granule = 16 if io_dtype == jnp.bfloat16 else 8
     scale, d = int(blk["scale"]), int(blk["dilation"])
     halo_in = 8 // scale if scale > 1 else 8
+    if io_dtype == jnp.bfloat16:
+        # keep DMA row offsets/lengths on the bf16 sublane granule
+        halo_in = granule
     shifts9_t = _conv_shift_table(9, 1, P)
     shifts9 = tuple(sorted(shifts9_t))
     _, w_aux, b_aux = _stacked(blk["aux2_w"], blk["aux2_b"], 1)
@@ -444,7 +457,7 @@ def _run_tade2(x2p, c2p, rp, t, blk, *, t_tile, gated_function,
     mean, rs = _packed_stats(x2p, t)
     ones = _group_ones()
 
-    tile_in = min(t_tile, _round_up(rows_tot, 8))
+    tile_in = min(t_tile, _round_up(rows_tot, granule))
     n_tiles = -(-rows_tot // tile_in)
     t_rows_in = n_tiles * tile_in
 
@@ -482,9 +495,9 @@ def _run_tade2(x2p, c2p, rp, t, blk, *, t_tile, gated_function,
             jax.ShapeDtypeStruct((b, scale * t_rows_in, LANES), x2p.dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((rows_in, LANES), jnp.float32),
-            pltpu.VMEM((rows_in, LANES), jnp.float32),
-            pltpu.VMEM((rows_in, LANES), jnp.float32),
+            pltpu.VMEM((rows_in, LANES), io_dtype),
+            pltpu.VMEM((rows_in, LANES), io_dtype),
+            pltpu.VMEM((rows_in, LANES), io_dtype),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,

@@ -91,15 +91,18 @@ def _in_bwd_packed(dyn, xp, mean, rs, t):
     """Instance-norm backward in packed layout.
 
     dyn: grad w.r.t. the normalized value (B, >=t//P, 128); xp: the raw
-    IN input; mean/rs: its packed stats. Returns dL/dx (B, t//P, 128).
+    IN input; mean/rs: its packed stats. Returns dL/dx (B, t//P, 128)
+    in dyn's dtype (f32 internally for the rank-1 reductions).
     """
     rows = t // P
-    dyn = dyn[:, :rows, :]
-    xv = xp[:, :rows, :]
+    out_dtype = dyn.dtype
+    dyn = dyn[:, :rows, :].astype(jnp.float32)
+    xv = xp[:, :rows, :].astype(jnp.float32)
     xn = (xv - mean[:, None, :]) * rs[:, None, :]
     e1 = _phase_mean(dyn)
     e2 = _phase_mean(dyn * xn)
-    return rs[:, None, :] * (dyn - e1[:, None, :] - xn * e2[:, None, :])
+    out = rs[:, None, :] * (dyn - e1[:, None, :] - xn * e2[:, None, :])
+    return out.astype(out_dtype)
 
 
 def _stretch_t_packed(z, scale: int):
@@ -201,7 +204,7 @@ def _conv_wgrads(src, dz_own, new_len, shifts, dw_ref, db_ref,
         if mxu_bf16:
             lhs = lhs.astype(jnp.bfloat16)
         dw_ref[si] += jnp.dot(lhs, dz_c, preferred_element_type=jnp.float32)
-    db_ref[0] += jnp.sum(dz_own, axis=0)
+    db_ref[0] += jnp.sum(dz_own.astype(jnp.float32), axis=0)
 
 
 def _stretch_2d(v, scale: int):
@@ -300,8 +303,10 @@ def _kernel_tade1_bwd(
     dcv = apply_conv_t(da, len_a, rows, shifts9, w_aux)
 
     dxn_full = jnp.pad(dxn_f, ((off_g, rows - off_g - len_g), (0, 0)))
-    dxn_out[0] = lax.slice_in_dim(dxn_full, halo, halo + t_tile, axis=0)
-    dc_out[0] = lax.slice_in_dim(dcv, halo, halo + t_tile, axis=0)
+    dxn_out[0] = lax.slice_in_dim(
+        dxn_full, halo, halo + t_tile, axis=0).astype(dxn_out.dtype)
+    dc_out[0] = lax.slice_in_dim(
+        dcv, halo, halo + t_tile, axis=0).astype(dc_out.dtype)
 
 
 def _kernel_tade2_bwd(
@@ -395,10 +400,11 @@ def _kernel_tade2_bwd(
     dup_full = jnp.pad(dup_s, ((off_g, rows - off_g - len_g), (0, 0)))
     halo_out = scale * halo_in
     t_tile_out = scale * t_tile_in
-    dxn2_out[0] = lax.slice_in_dim(dup_full, halo_out, halo_out + t_tile_out,
-                                   axis=0)
-    da_out[0] = lax.slice_in_dim(dcv, halo_out, halo_out + t_tile_out,
-                                 axis=0)
+    dxn2_out[0] = lax.slice_in_dim(
+        dup_full, halo_out, halo_out + t_tile_out, axis=0
+    ).astype(dxn2_out.dtype)
+    da_out[0] = lax.slice_in_dim(
+        dcv, halo_out, halo_out + t_tile_out, axis=0).astype(da_out.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -432,6 +438,11 @@ def _wgrad_outs(shift_sets):
 def _run_tade1_bwd(xp, cp, dx2p, dap, mean, rs, w, *, t, t_tile,
                    gated_function, interpret, mxu_bf16=False):
     b, rows_tot, _ = xp.shape
+    # bf16-resident: activations/cotangents stay bf16 in HBM + VMEM
+    # scratch; weight-grad accumulators and stats stay f32 (KERNELS.md
+    # round-5 section). halo=16 is already a bf16 sublane multiple.
+    io_dtype = xp.dtype
+    granule = 16 if io_dtype == jnp.bfloat16 else 8
     halo = 16
     shifts9, w_aux, b_aux = _stacked(w["aux1_w"], w["aux1_b"], 1)
     (w1a, b1a), (w1b, b1b) = _split_gate_weights(w["g1_w"], w["g1_b"])
@@ -443,7 +454,7 @@ def _run_tade1_bwd(xp, cp, dx2p, dap, mean, rs, w, *, t, t_tile,
     _, wc1b, bc1b = _stacked(wc1b_, bc1b_, 1)
     ones = _group_ones()
 
-    tile = min(t_tile, _round_up(rows_tot, 8))
+    tile = min(t_tile, _round_up(rows_tot, granule))
     n_tiles = -(-rows_tot // tile)
     t_rows = n_tiles * tile
 
@@ -475,14 +486,14 @@ def _run_tade1_bwd(xp, cp, dx2p, dap, mean, rs, w, *, t, t_tile,
                          memory_space=pltpu.VMEM),
         ] + wg_specs,
         out_shape=[
-            jax.ShapeDtypeStruct((b, t_rows, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((b, t_rows, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((b, t_rows, LANES), io_dtype),
+            jax.ShapeDtypeStruct((b, t_rows, LANES), io_dtype),
         ] + wg_shapes,
         scratch_shapes=[
-            pltpu.VMEM((rows, LANES), jnp.float32),
-            pltpu.VMEM((rows, LANES), jnp.float32),
-            pltpu.VMEM((rows, LANES), jnp.float32),
-            pltpu.VMEM((rows, LANES), jnp.float32),
+            pltpu.VMEM((rows, LANES), io_dtype),
+            pltpu.VMEM((rows, LANES), io_dtype),
+            pltpu.VMEM((rows, LANES), io_dtype),
+            pltpu.VMEM((rows, LANES), io_dtype),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
@@ -513,8 +524,10 @@ def _run_tade2_bwd(x2p, ap, dxop, dcop, mean, rs, w, scale, dilation, *,
                    t, t_tile, gated_function, interpret,
                    mxu_bf16=False):
     b, rows_in_tot, _ = x2p.shape
+    io_dtype = x2p.dtype
+    granule = 16 if io_dtype == jnp.bfloat16 else 8
     halo_out_needed = 2 * (2 + 2 + 2 * dilation)
-    halo_in = _round_up(-(-halo_out_needed // scale), 8)
+    halo_in = _round_up(-(-halo_out_needed // scale), granule)
     shifts9 = tuple(sorted(_conv_shift_table(9, 1, P)))
     _, w_aux, b_aux = _stacked(w["aux2_w"], w["aux2_b"], 1)
     (w2a, b2a), (w2b, b2b) = _split_gate_weights(w["g2_w"], w["g2_b"])
@@ -526,7 +539,7 @@ def _run_tade2_bwd(x2p, ap, dxop, dcop, mean, rs, w, scale, dilation, *,
     _, wc2b, bc2b = _stacked(wc2b_, bc2b_, dilation)
     ones = _group_ones()
 
-    tile_in = min(t_tile, _round_up(rows_in_tot, 8))
+    tile_in = min(t_tile, _round_up(rows_in_tot, granule))
     n_tiles = -(-rows_in_tot // tile_in)
     t_rows_in = n_tiles * tile_in
 
@@ -571,14 +584,14 @@ def _run_tade2_bwd(x2p, ap, dxop, dcop, mean, rs, w, scale, dilation, *,
                          memory_space=pltpu.VMEM),
         ] + wg_specs,
         out_shape=[
-            jax.ShapeDtypeStruct((b, scale * t_rows_in, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((b, scale * t_rows_in, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((b, scale * t_rows_in, LANES), io_dtype),
+            jax.ShapeDtypeStruct((b, scale * t_rows_in, LANES), io_dtype),
         ] + wg_shapes,
         scratch_shapes=[
-            pltpu.VMEM((rows_in, LANES), jnp.float32),
-            pltpu.VMEM((rows_in, LANES), jnp.float32),
-            pltpu.VMEM((rows, LANES), jnp.float32),
-            pltpu.VMEM((rows, LANES), jnp.float32),
+            pltpu.VMEM((rows_in, LANES), io_dtype),
+            pltpu.VMEM((rows_in, LANES), io_dtype),
+            pltpu.VMEM((rows, LANES), io_dtype),
+            pltpu.VMEM((rows, LANES), io_dtype),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
@@ -619,8 +632,15 @@ def _block_fwd_impl(x, c, w, scale, dilation, gated_function, t_tile,
     t = x.shape[1]
     rows = t // P
     wf = {k: w[k].astype(jnp.float32) for k in _WEIGHT_KEYS}
-    xp = _pack_time(x.astype(jnp.float32), rows)
-    cp = _pack_time(c.astype(jnp.float32), rows)
+    # bf16-resident (round 5): under mixed precision the packed
+    # activation stream — forward, residuals for the backward's
+    # recompute, and the reverse cotangents — stays bfloat16 in HBM and
+    # VMEM; only stats and weight-grad accumulators are f32. This halves
+    # the traffic that r4 measured as the bf16-regime limiter.
+    io_dtype = (jnp.bfloat16 if mxu_bf16 and x.dtype == jnp.bfloat16
+                else jnp.float32)
+    xp = _pack_time(x.astype(io_dtype), rows)
+    cp = _pack_time(c.astype(io_dtype), rows)
     blk = dict(wf)
     blk["scale"], blk["dilation"] = scale, dilation
     x2p, ap = _run_tade1(xp, cp, t, blk, t_tile=t_tile,
@@ -659,8 +679,9 @@ def _block_bwd(scale, dilation, gated_function, t_tile, interpret, mxu_bf16,
     interpret = interpret or jax.default_backend() != "tpu"
     t = xp.shape[1] * P
     rows_out = t * scale // P
-    dxop = _pack_time(dxo.astype(jnp.float32), rows_out)
-    dcop = _pack_time(dco.astype(jnp.float32), rows_out)
+    io_dtype = xp.dtype  # bf16-resident cotangents under mixed precision
+    dxop = _pack_time(dxo.astype(io_dtype), rows_out)
+    dcop = _pack_time(dco.astype(io_dtype), rows_out)
     mean2, rs2 = _packed_stats(x2p, t)
     mean1, rs1 = _packed_stats(xp, t)
 

@@ -163,3 +163,44 @@ def test_generator_grads_with_stacks_train_flag():
             np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-3,
             err_msg=jax.tree_util.keystr(path),
         )
+
+
+def test_fused_stack_bf16_resident_grads_close():
+    """bf16 activations (mixed-precision mode) make the kernels
+    bf16-RESIDENT (bf16 HBM/VMEM streams, bf16 MXU operands, f32
+    accumulators); values/grads must stay within bf16 rounding of the f32
+    reference (structural errors would be O(1), not O(1e-2))."""
+    c = 64
+    rs = np.random.RandomState(7)
+    stacks = _rand_stacks(rs, c)
+    x = jnp.asarray(rs.randn(2, 256, c) * 0.5, jnp.float32)
+
+    def loss_ref(x, ws):
+        sts = [dict(st, **w) for st, w in zip(stacks, ws)]
+        sts, _ = substitute_biases(sts, None, c)
+        y = melgan_stacks_xla(x, sts, pad_mode="reflect")
+        return jnp.mean(y ** 2)
+
+    def loss_bf16(x, ws):
+        sts = [dict(st, **w) for st, w in zip(stacks, ws)]
+        y = fused_melgan_stacks_train(
+            x.astype(jnp.bfloat16), sts, pad_mode="reflect", t_tile=32,
+            interpret=True)
+        return jnp.mean(y.astype(jnp.float32) ** 2)
+
+    keys = ("wd", "bd", "w1", "b1", "ws", "bs")
+    ws = [{k: st[k] for k in keys} for st in stacks]
+    v_ref, g_ref = jax.value_and_grad(loss_ref, argnums=(0, 1))(x, ws)
+    v_b, g_b = jax.value_and_grad(loss_bf16, argnums=(0, 1))(x, ws)
+    np.testing.assert_allclose(float(v_ref), float(v_b), rtol=2e-2)
+    for name, a, b in zip(["dx", "dweights"], g_ref, g_b):
+        for (path, va), vb in zip(
+            jax.tree_util.tree_leaves_with_path(a),
+            jax.tree_util.tree_leaves(b),
+        ):
+            va = np.asarray(va, np.float32)
+            vb = np.asarray(vb, np.float32)
+            denom = max(float(np.max(np.abs(va))), 1e-3)
+            rel = float(np.max(np.abs(va - vb))) / denom
+            assert rel < 6e-2, (
+                f"{name}{jax.tree_util.keystr(path)}: rel={rel}")
