@@ -57,10 +57,16 @@ def chained_time(fn, *args, iters: int = 30, perturb_arg: int | None = None):
         )
 
     def _scalar(out):
-        # Combine the FIRST and LAST inexact leaves: a train-step's
-        # output tuple often leads with passthrough params (independent
-        # of the perturbed batch) — carrying only those would let XLA
-        # collapse the loop; metrics/last outputs depend on everything.
+        # The carry must consume EVERY inexact output leaf: the loop's
+        # only live value is this scalar, so any output not feeding it is
+        # dead code — XLA then deletes that slice of the program from the
+        # loop body. With a single-leaf carry, a train step's backward
+        # pass and optimizer update were eliminated entirely and the
+        # "measurement" timed only the forward slice (found round 5:
+        # 6 ms for a 36 ms program). Summing a mean per leaf keeps the
+        # whole program live at ~0.5 ms/iter of extra reductions for an
+        # 85M-param state — noise against the >10 ms programs this
+        # helper is for.
         leaves = [
             leaf for leaf in jax.tree_util.tree_leaves(out)
             if hasattr(leaf, "dtype")
@@ -68,9 +74,9 @@ def chained_time(fn, *args, iters: int = 30, perturb_arg: int | None = None):
         ]
         if not leaves:
             return jnp.float32(0.0)
-        acc = jnp.mean(leaves[0]).astype(jnp.float32)
-        if len(leaves) > 1:
-            acc = acc + jnp.mean(leaves[-1]).astype(jnp.float32)
+        acc = jnp.float32(0.0)
+        for leaf in leaves:
+            acc = acc + jnp.mean(leaf).astype(jnp.float32)
         return acc
 
     @jax.jit
