@@ -43,7 +43,10 @@ def _round_up(n: int, m: int) -> int:
 
 
 def _leaky(x, slope=0.1):
-    return jnp.where(x >= 0, x, slope * x)
+    # maximum form, not where(x >= 0, ...): equivalent for 0 < slope < 1,
+    # and the Mosaic toolchain 500s on select-with-bf16-compare inside
+    # kernels (found round 5 bisect) while maximum lowers fine
+    return jnp.maximum(x, x * jnp.asarray(slope, x.dtype))
 
 
 def hifigan_mrf_xla(x, blocks, slope=0.1):

@@ -71,7 +71,9 @@ _STACK_KEYS = ("wd", "bd", "w1", "b1", "ws", "bs")
 
 
 def _dleaky(x, slope: float):
-    return jnp.where(x >= 0, jnp.float32(1.0), jnp.float32(slope))
+    # compare in f32: Mosaic 500s on bf16-compare selects (round-5 bisect)
+    return jnp.where(x.astype(jnp.float32) >= 0,
+                     jnp.float32(1.0), jnp.float32(slope))
 
 
 def _unpack_wgrad(dmats, dbias, k: int, d: int, p: int, c0p: int,
