@@ -97,7 +97,19 @@ def main():
 
     def add(name, fn, *fargs):
         jitted = jax.jit(fn)
-        t = chained_time(jitted, *fargs, iters=args.iters)
+        try:
+            t = chained_time(jitted, *fargs, iters=args.iters)
+        except Exception as exc:
+            # a piece whose chained program exceeds the remote-compile
+            # limit (HTTP 413) must not kill the rest of the breakdown;
+            # retry with a smaller loop before giving up
+            try:
+                t = chained_time(jitted, *fargs, iters=max(4,
+                                                           args.iters // 4))
+            except Exception:
+                pieces[name] = {"error": repr(exc)[:160]}
+                print(f"{name:16s} FAILED: {exc!r}"[:120], file=sys.stderr)
+                return
         fl = 0.0
         try:
             ca = jitted.lower(*fargs).compile().cost_analysis()
