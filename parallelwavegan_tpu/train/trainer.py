@@ -107,15 +107,22 @@ class Trainer:
         """Train until train_max_steps, checkpointing on exit.
 
         SIGTERM (the signal `timeout`, cluster schedulers, and TPU
-        preemptions deliver) is converted into KeyboardInterrupt so the
+        preemptions deliver) requests a graceful stop so the
         finally-save below still runs — mirroring the reference's
         crash-resilience contract (train.py:1540-1546) under preemption,
-        not just Ctrl-C.
+        not just Ctrl-C. The handler only SETS A FLAG checked at step
+        granularity: raising KeyboardInterrupt from the handler is
+        silently dropped whenever the signal lands while the main thread
+        is inside a jaxlib nanobind call (device_put / execute — i.e.
+        most of every step; observed on this stack round 5), which made
+        preemption handling a coin flip.
         """
         import signal
 
+        self._preempted = False
+
         def _term(signum, frame):
-            raise KeyboardInterrupt(f"signal {signum}")
+            self._preempted = True
 
         try:
             prev_term = signal.signal(signal.SIGTERM, _term)
@@ -135,6 +142,11 @@ class Trainer:
                 if self.is_rank0:
                     self._check_save_interval()
                 if self.finish_train:
+                    break
+                if self._preempted:
+                    logging.info(
+                        "SIGTERM received: stopping at step %d "
+                        "(checkpoint follows).", self.steps)
                     break
         finally:
             if prev_term is not None:
