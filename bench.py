@@ -36,8 +36,8 @@ achievable ceiling is ~half that, so f32 MFU is a conservative number.
 
 Training config: LJSpeech HiFi-GAN V1 (G 13.9M + MSMPD D 70.7M,
 batch 16 x 8192 = egs/ljspeech/voc1/conf/hifigan.v1.yaml) and LJSpeech
-MB-MelGAN v2 (batch 16 x 16384), the same two-program jitted step the
-trainer runs.
+MB-MelGAN v2 (the reference's own batch 64 x 16384), the same
+two-program jitted step the trainer runs.
 """
 
 import json
@@ -223,11 +223,15 @@ def main():
     steps_bf16, _, flops_bf16 = measure_train(
         "hifigan.v1.yaml", mixed=True
     )
+    # batch 64 = the reference's own multi_band_melgan.v2.yaml batch size
+    # (like-for-like samples/s; the r4 number used a 16-sample one-chip
+    # DP shard, which under-fills the MXU: 6.9M vs 11.9M samples/s)
     mb_steps, mb_samples, _ = measure_train(
-        "multi_band_melgan.v2.yaml", want_flops=False
+        "multi_band_melgan.v2.yaml", want_flops=False, batch_size=64
     )
     mb_steps_bf16, mb_samples_bf16, _ = measure_train(
-        "multi_band_melgan.v2.yaml", mixed=True, want_flops=False
+        "multi_band_melgan.v2.yaml", mixed=True, want_flops=False,
+        batch_size=64
     )
     # remaining three families at the reference's own batch sizes
     # (melgan.v1: 8 x 25600, pwg.v1: 6 x 25600, style_melgan.v1:

@@ -89,13 +89,14 @@ def chained_time(fn, *args, iters: int = 30, perturb_arg: int | None = None):
 
         return lax.fori_loop(0, iters, body, jnp.float32(0.0))
 
-    # The timed call MUST NOT be input-identical to the warm call: the
-    # tunneled runtime memoizes repeat dispatches of the same executable
-    # with the same buffers and returns without executing — an identical
-    # second call measures only the ~26 ms tunnel RTT (found round 5 via
-    # impossible >1000 TF/s "measurements"). The salt keeps the program
-    # identical (one compile) while making every invocation's inputs
-    # fresh.
+    # The salt varies the timed call's inputs from the warm call's at
+    # zero cost (same compiled program). NOTE the round-5 forensic
+    # conclusion: the impossible >1000 TF/s readings this helper used to
+    # produce were caused by the DCE hazard documented in ``_scalar``
+    # above (a single-leaf carry let XLA delete most of the program),
+    # NOT by any runtime caching of identical dispatches — but identical
+    # repeat dispatches cost nothing to avoid, so the salt stays as
+    # insurance.
     float(jax.device_get(run(jnp.float32(0.0), *args)))  # compile + warm
     start = time.perf_counter()
     float(jax.device_get(run(jnp.float32(1.0), *args)))
