@@ -11,6 +11,16 @@ single python entry point):
     data_dir.py subset <src> <dst> --first N | --last N | --utt-list F
     data_dir.py utt2spk-to-spk2utt <dir>  # write spk2utt from utt2spk
     data_dir.py spk2utt-to-utt2spk <dir>  # write utt2spk from spk2utt
+    data_dir.py apply-map <map> [-f N]    # apply_map.pl: stdin field N -> map
+    data_dir.py filter-scp <ids> [-f N] [--exclude]   # filter_scp.pl
+    data_dir.py utt2dur <dir>             # get_utt2dur.sh: write utt2dur
+    data_dir.py split-data <dir> <N>      # split_data.sh: dir/split<N>/<i>
+    data_dir.py resample <src> <dst> --fs FS [--wav-outdir D]
+                                          # resample_data_dir.sh: really
+                                          # resamples the audio (polyphase)
+
+(get_utt2dur/resample need the parallelwavegan_tpu package importable —
+recipes install it editable.)
 """
 
 import argparse
@@ -178,6 +188,122 @@ def cmd_s2u(args):
     print(f"wrote utt2spk ({len(utt2spk)} utts)")
 
 
+def cmd_apply_map(args):
+    """apply_map.pl: replace stdin's field N through a key->value map."""
+    m = read_map(args.map)
+    f = args.field - 1
+    for line in sys.stdin:
+        parts = line.rstrip("\n").split()
+        if len(parts) <= f:
+            sys.exit(f"apply-map: line has no field {args.field}: {line!r}")
+        key = parts[f]
+        if key not in m:
+            if args.permissive:
+                continue
+            sys.exit(f"apply-map: no map entry for {key!r}")
+        parts[f] = m[key]
+        print(" ".join(parts))
+
+
+def cmd_filter_scp(args):
+    """filter_scp.pl: keep (or --exclude) stdin lines whose field N key is
+    in the id-list file (first field per line of the list)."""
+    with open(args.ids) as fh:
+        ids = {line.split()[0] for line in fh if line.strip()}
+    f = args.field - 1
+    for line in sys.stdin:
+        parts = line.split()
+        if len(parts) <= f:
+            continue
+        if (parts[f] in ids) != args.exclude:
+            sys.stdout.write(line)
+
+
+def cmd_utt2dur(args):
+    """get_utt2dur.sh: write <dir>/utt2dur (seconds) from wav.scp
+    (+segments when present)."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__),
+                                    "..", ".."))
+    from parallelwavegan_tpu.utils.io import read_wav
+
+    d = args.dir
+    recs = read_map(os.path.join(d, "wav.scp"))
+    rec_dur = {}
+    for rec, path in recs.items():
+        fs, data = read_wav(path)
+        rec_dur[rec] = len(data) / fs
+    seg_path = os.path.join(d, "segments")
+    out = {}
+    if os.path.exists(seg_path):
+        for utt, rest in read_map(seg_path).items():
+            _, start, end = rest.split()
+            out[utt] = f"{float(end) - float(start):.3f}"
+    else:
+        out = {rec: f"{dur:.3f}" for rec, dur in rec_dur.items()}
+    write_map(os.path.join(d, "utt2dur"), out)
+    print(f"wrote utt2dur ({len(out)} utts)")
+
+
+def cmd_split_data(args):
+    """split_data.sh: write <dir>/split<N>/<i>/{wav.scp,utt2spk,segments}
+    with utterances round-robined in sorted order (contiguous blocks,
+    like the reference's utt2spk-respecting split for spk-less dirs)."""
+    d, n = args.dir, args.n
+    utts = sorted(utt_ids(d))
+    per = -(-len(utts) // n)
+    blocks = [set(utts[i * per:(i + 1) * per]) for i in range(n)]
+    seg_path = os.path.join(d, "segments")
+    segs = read_map(seg_path) if os.path.exists(seg_path) else None
+    for i, block in enumerate(blocks, 1):
+        sub = os.path.join(d, f"split{n}", str(i))
+        os.makedirs(sub, exist_ok=True)
+        kept_recs = None
+        if segs is not None:
+            bseg = {k: v for k, v in segs.items() if k in block}
+            write_map(os.path.join(sub, "segments"), bseg)
+            kept_recs = {v.split()[0] for v in bseg.values()}
+        for name in ["wav.scp", "utt2spk", "label"]:
+            p = os.path.join(d, name)
+            if not os.path.exists(p):
+                continue
+            keys = (kept_recs if kept_recs is not None
+                    and name != "utt2spk" else block)
+            write_map(os.path.join(sub, name),
+                      {k: v for k, v in read_map(p).items() if k in keys})
+    print(f"split {d} into {n} ({per} utts each)")
+
+
+def cmd_resample(args):
+    """resample_data_dir.sh role: actually resample every wav
+    (scipy polyphase — the same filter preprocess uses) into
+    --wav-outdir and write <dst> pointing at the new files."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__),
+                                    "..", ".."))
+    from parallelwavegan_tpu.bin.preprocess import resample_poly_np
+    from parallelwavegan_tpu.utils.io import read_wav, write_wav
+
+    wav_outdir = args.wav_outdir or os.path.join(args.dst, "wavs")
+    os.makedirs(wav_outdir, exist_ok=True)
+    os.makedirs(args.dst, exist_ok=True)
+    recs = read_map(os.path.join(args.src, "wav.scp"))
+    new = {}
+    for rec, path in recs.items():
+        fs, data = read_wav(path)
+        if fs != args.fs:
+            data = resample_poly_np(data.astype("float32") /
+                                    (32768.0 if data.dtype.kind == "i"
+                                     else 1.0), fs, args.fs)
+        outp = os.path.abspath(os.path.join(wav_outdir, f"{rec}.wav"))
+        write_wav(outp, args.fs, data)
+        new[rec] = outp
+    write_map(os.path.join(args.dst, "wav.scp"), new)
+    for name in ["utt2spk", "segments", "label"]:
+        p = os.path.join(args.src, name)
+        if os.path.exists(p):
+            write_map(os.path.join(args.dst, name), read_map(p))
+    print(f"resampled {len(new)} wavs to {args.fs} Hz -> {args.dst}")
+
+
 def main():
     p = argparse.ArgumentParser(description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -205,6 +331,30 @@ def main():
     sp = sub.add_parser("spk2utt-to-utt2spk")
     sp.add_argument("dir")
     sp.set_defaults(fn=cmd_s2u)
+    sp = sub.add_parser("apply-map")
+    sp.add_argument("map")
+    sp.add_argument("-f", "--field", type=int, default=1)
+    sp.add_argument("--permissive", action="store_true",
+                    help="drop unmapped lines instead of failing")
+    sp.set_defaults(fn=cmd_apply_map)
+    sp = sub.add_parser("filter-scp")
+    sp.add_argument("ids")
+    sp.add_argument("-f", "--field", type=int, default=1)
+    sp.add_argument("--exclude", action="store_true")
+    sp.set_defaults(fn=cmd_filter_scp)
+    sp = sub.add_parser("utt2dur")
+    sp.add_argument("dir")
+    sp.set_defaults(fn=cmd_utt2dur)
+    sp = sub.add_parser("split-data")
+    sp.add_argument("dir")
+    sp.add_argument("n", type=int)
+    sp.set_defaults(fn=cmd_split_data)
+    sp = sub.add_parser("resample")
+    sp.add_argument("src")
+    sp.add_argument("dst")
+    sp.add_argument("--fs", type=int, required=True)
+    sp.add_argument("--wav-outdir")
+    sp.set_defaults(fn=cmd_resample)
     args = p.parse_args()
     args.fn(args)
 
