@@ -10,11 +10,16 @@
 
 backend="${CMD_BACKEND:-local}"
 
-if [ "${backend}" = "slurm" ]; then
-    train_cmd="python3 ../../utils/run_jobs.py --backend slurm"
-    cuda_cmd="python3 ../../utils/run_jobs.py --backend slurm --gpu 1"
-else
+# any run_jobs.py backend works here: local (run.pl), slurm (slurm.pl),
+# queue (queue.pl/SGE), ssh (ssh.pl, set CMD_HOSTS), stdout (stdout.pl)
+if [ "${backend}" = "local" ]; then
     train_cmd="python3 ../../utils/run_jobs.py"
     cuda_cmd="python3 ../../utils/run_jobs.py"
+else
+    extra=""
+    [ "${backend}" = "slurm" ] && extra="--gpu 1"
+    [ -n "${CMD_HOSTS:-}" ] && extra="${extra} --hosts ${CMD_HOSTS}"
+    train_cmd="python3 ../../utils/run_jobs.py --backend ${backend} ${extra}"
+    cuda_cmd="python3 ../../utils/run_jobs.py --backend ${backend} ${extra}"
 fi
 export train_cmd cuda_cmd

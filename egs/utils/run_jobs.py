@@ -17,12 +17,18 @@ Same invocation contract here:
 
 Options:
     --max-jobs-run N   cap concurrent jobs (default: all at once)
-    --backend local|slurm
-                       local = subprocesses (run.pl); slurm = one
-                       ``sbatch --wait --array`` submission (slurm.pl)
-    --gpu G            gpus per job (slurm backend: --gres=gpu:G)
-    --mem M            memory per job (slurm backend, e.g. 8G)
-    --time T           time limit (slurm backend, e.g. 24:00:00)
+    --backend local|slurm|queue|ssh|stdout
+                       local  = subprocesses (run.pl)
+                       slurm  = one ``sbatch --wait --array`` (slurm.pl)
+                       queue  = one ``qsub -sync y [-t lo-hi]`` (queue.pl,
+                                GridEngine)
+                       ssh    = round-robin over --hosts (ssh.pl)
+                       stdout = local, but job output is ALSO echoed to
+                                this process's stdout (stdout.pl)
+    --gpu G            gpus per job (slurm: --gres=gpu:G; queue: -l gpu=G)
+    --mem M            memory per job (slurm, e.g. 8G; queue: -l mem=M)
+    --time T           time limit (slurm, e.g. 24:00:00)
+    --hosts h1,h2,...  worker hosts for the ssh backend
 """
 
 import argparse
@@ -34,7 +40,8 @@ import sys
 import time
 
 
-_DISPATCH_OPTS = ("--max-jobs-run", "--backend", "--gpu", "--mem", "--time")
+_DISPATCH_OPTS = ("--max-jobs-run", "--backend", "--gpu", "--mem",
+                  "--time", "--hosts")
 
 
 def parse_args(argv):
@@ -43,10 +50,13 @@ def parse_args(argv):
     )
     parser.add_argument("--max-jobs-run", type=int, default=None)
     parser.add_argument("--backend", default="local",
-                        choices=["local", "slurm"])
+                        choices=["local", "slurm", "queue", "ssh",
+                                 "stdout"])
     parser.add_argument("--gpu", type=int, default=0)
     parser.add_argument("--mem", default=None)
     parser.add_argument("--time", default=None)
+    parser.add_argument("--hosts", default=None,
+                        help="comma-separated hosts (ssh backend)")
     # dispatcher options are taken ONLY from the prefix before the
     # JOB=/log positionals (run.pl semantics) — a '--gpu' etc. appearing
     # inside the wrapped command belongs to that command, not to us
@@ -104,7 +114,7 @@ def _finish_one(log, proc):
     return code
 
 
-def run_local(args):
+def _expand_jobs(args):
     jobs = []
     if args.job_range is None:
         jobs.append((args.log, args.command))
@@ -115,6 +125,11 @@ def run_local(args):
                 args.log.replace(args.job_name, str(i)),
                 _substitute(args.command, args.job_name, i),
             ))
+    return jobs
+
+
+def run_local(args, echo_logs: bool = False):
+    jobs = _expand_jobs(args)
     max_run = args.max_jobs_run or len(jobs)
     running, codes = [], []
     for log, cmd in jobs:
@@ -124,11 +139,83 @@ def run_local(args):
         running.append((log, _run_one(log, cmd)))
     for log0, p0 in running:
         codes.append((log0, _finish_one(log0, p0)))
+    if echo_logs:  # stdout.pl role: job output also lands on our stdout
+        for log0, _ in codes:
+            sys.stdout.write(open(log0).read())
+        sys.stdout.flush()
     failed = [(log, c) for log, c in codes if c != 0]
     for log, c in failed:
         print(f"run_jobs.py: job failed (code {c}), see {log}",
               file=sys.stderr)
     return 1 if failed else 0
+
+
+def run_ssh(args):
+    """ssh.pl role: round-robin the jobs over --hosts; logs stay local.
+
+    Jobs run via ``ssh <host> cd <cwd> && <command>`` with output piped
+    into the local per-job log (the reference's ssh.pl contract: shared
+    filesystem assumed, no scheduler).
+    """
+    hosts = [h for h in (args.hosts or "").split(",") if h]
+    if not hosts:
+        print("run_jobs.py: --backend ssh needs --hosts", file=sys.stderr)
+        return 1
+    jobs = _expand_jobs(args)
+    cwd = shlex.quote(os.getcwd())
+    wrapped = []
+    for n, (log, cmd) in enumerate(jobs):
+        host = hosts[n % len(hosts)]
+        remote = f"cd {cwd} && " + " ".join(shlex.quote(c) for c in cmd)
+        wrapped.append((log, ["ssh", "-o", "BatchMode=yes", host, remote]))
+    running, codes = [], []
+    max_run = args.max_jobs_run or len(wrapped)
+    for log, cmd in wrapped:
+        while len(running) >= max_run:
+            log0, p0 = running.pop(0)
+            codes.append((log0, _finish_one(log0, p0)))
+        running.append((log, _run_one(log, cmd)))
+    for log0, p0 in running:
+        codes.append((log0, _finish_one(log0, p0)))
+    failed = [(log, c) for log, c in codes if c != 0]
+    for log, c in failed:
+        print(f"run_jobs.py: ssh job failed (code {c}), see {log}",
+              file=sys.stderr)
+    return 1 if failed else 0
+
+
+def run_queue(args):
+    """queue.pl role: one synchronous GridEngine submission.
+
+    Mirrors run_slurm's structure: ``qsub -sync y -b y -j y`` with
+    ``-t lo-hi`` for arrays; JOB expands to $SGE_TASK_ID inside the
+    wrapper; per-job logs via the same shell redirection."""
+    qsub = ["qsub", "-sync", "y", "-b", "y", "-j", "y",
+            "-o", "/dev/null", "-e", "/dev/null"]
+    if args.gpu:
+        qsub += ["-l", f"gpu={args.gpu}"]
+    if args.mem:
+        qsub += ["-l", f"mem_free={args.mem},ram_free={args.mem}"]
+
+    def dq(s):
+        body = (s.replace("\\", "\\\\").replace('"', '\\"')
+                 .replace("$", "\\$").replace("`", "\\`"))
+        return f'"{body}"'
+
+    cmdline = " ".join(dq(c) for c in args.command)
+    log = dq(args.log)
+    if args.job_range is not None:
+        lo, hi = args.job_range
+        qsub += ["-t", f"{lo}-{hi}"]
+        if args.max_jobs_run:
+            qsub += ["-tc", str(args.max_jobs_run)]
+        cmdline = cmdline.replace(args.job_name, "${SGE_TASK_ID}")
+        log = log.replace(args.job_name, "${SGE_TASK_ID}")
+    wrapper = (
+        f"mkdir -p \"$(dirname {log})\" && ({cmdline}) > {log} 2>&1"
+    )
+    proc = subprocess.run(qsub + ["bash", "-c", wrapper])
+    return proc.returncode
 
 
 def run_slurm(args):
@@ -172,7 +259,11 @@ def main(argv=None):
     args = parse_args(argv if argv is not None else sys.argv[1:])
     if args.backend == "slurm":
         return run_slurm(args)
-    return run_local(args)
+    if args.backend == "queue":
+        return run_queue(args)
+    if args.backend == "ssh":
+        return run_ssh(args)
+    return run_local(args, echo_logs=args.backend == "stdout")
 
 
 if __name__ == "__main__":

@@ -111,3 +111,85 @@ def test_slurm_wrapper_expands_job_inside_quoted_args(tmp_path, monkeypatch):
     assert "dump dir/${SLURM_ARRAY_TASK_ID}.done" in wrapper
     assert "out dir/log.${SLURM_ARRAY_TASK_ID}" in wrapper
     assert "'${SLURM_ARRAY_TASK_ID}'" not in wrapper
+
+
+def test_stdout_backend_echoes_job_output(tmp_path):
+    """stdout.pl role: logs are written AND echoed to our stdout."""
+    import subprocess as sp
+
+    log = tmp_path / "log.JOB"
+    r = sp.run(
+        [sys.executable, RUN_JOBS, "--backend", "stdout", "JOB=1:2",
+         str(log), "bash", "-c", "echo payload-JOB"],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0
+    assert "payload-1" in r.stdout and "payload-2" in r.stdout
+    assert "payload-1" in open(str(log).replace("JOB", "1")).read()
+
+
+def test_queue_backend_builds_sge_submission(tmp_path, monkeypatch):
+    """queue.pl role: one qsub -sync y [-t lo-hi] with $SGE_TASK_ID
+    expansion inside the wrapper."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("run_jobs", RUN_JOBS)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    captured = {}
+
+    def fake_run(cmd, **kw):
+        captured["cmd"] = cmd
+
+        class R:
+            returncode = 0
+
+        return R()
+
+    monkeypatch.setattr(mod.subprocess, "run", fake_run)
+    rc = mod.main([
+        "--backend", "queue", "--max-jobs-run", "3",
+        "JOB=1:4", str(tmp_path / "log.JOB"), "echo", "piece-JOB",
+    ])
+    assert rc == 0
+    cmd = captured["cmd"]
+    joined = " ".join(cmd)
+    assert cmd[0] == "qsub" and "-sync" in cmd and "-t" in cmd
+    assert "1-4" in joined and "-tc" in cmd
+    wrapper = cmd[-1]
+    assert "${SGE_TASK_ID}" in wrapper and "piece-" in wrapper
+
+
+def test_ssh_backend_round_robins_hosts(tmp_path, monkeypatch):
+    """ssh.pl role: jobs fan out over --hosts with local logs; a fake
+    ssh on PATH records the host and runs the command locally."""
+    import subprocess as sp
+
+    fake_bin = tmp_path / "bin"
+    fake_bin.mkdir()
+    fake_ssh = fake_bin / "ssh"
+    fake_ssh.write_text(
+        "#!/usr/bin/env bash\n"
+        '# args: -o BatchMode=yes <host> <remote-cmd>\n'
+        'host="$3"\n'
+        'echo "host=${host}"\n'
+        'shift 3\n'
+        'exec bash -c "$*"\n'
+    )
+    fake_ssh.chmod(0o755)
+    env = dict(os.environ)
+    env["PATH"] = f"{fake_bin}:{env['PATH']}"
+    log = tmp_path / "log.JOB"
+    r = sp.run(
+        [sys.executable, RUN_JOBS, "--backend", "ssh",
+         "--hosts", "hostA,hostB", "JOB=1:4", str(log),
+         "bash", "-c", "echo ran-JOB"],
+        capture_output=True, text=True, env=env,
+    )
+    assert r.returncode == 0, r.stderr
+    hosts = []
+    for i in range(1, 5):
+        body = open(str(log).replace("JOB", str(i))).read()
+        assert f"ran-{i}" in body
+        hosts += [ln for ln in body.splitlines() if ln.startswith("host=")]
+    assert {h.split("=")[1] for h in hosts} == {"hostA", "hostB"}
