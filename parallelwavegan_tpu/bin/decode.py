@@ -77,6 +77,11 @@ def main():
                              "instead")
     parser.add_argument("--chunk-frames", type=int, default=256)
     parser.add_argument("--context-frames", type=int, default=64)
+    parser.add_argument("--compilation-cache", default=None,
+                        help="persistent XLA compile-cache dir (default "
+                             "~/.cache/parallelwavegan_tpu/xla; restarts "
+                             "skip the 20-40 s first compile)")
+    parser.add_argument("--no-compilation-cache", action="store_true")
     parser.add_argument("--verbose", type=int, default=1)
     args = parser.parse_args()
 
@@ -84,6 +89,11 @@ def main():
         level=logging.INFO if args.verbose > 0 else logging.WARN,
         format="%(asctime)s (%(module)s:%(lineno)d) %(levelname)s: %(message)s",
     )
+
+    if not args.no_compilation_cache:
+        from parallelwavegan_tpu.utils.cache import enable_compilation_cache
+
+        enable_compilation_cache(args.compilation_cache)
 
     config = None
     if args.config is not None:

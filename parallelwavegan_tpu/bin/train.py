@@ -179,11 +179,21 @@ def main():
         help="capture a jax.profiler trace over the given step window "
              "(e.g. 50:60) into <outdir>/profile",
     )
+    parser.add_argument("--compilation-cache", default=None,
+                        help="persistent XLA compile-cache dir (default "
+                             "~/.cache/parallelwavegan_tpu/xla; resumed "
+                             "runs skip recompiling the train step)")
+    parser.add_argument("--no-compilation-cache", action="store_true")
     args = parser.parse_args()
     if args.profile is not None:
         start, stop = args.profile.split(":")
         args.profile_steps = [int(start), int(stop)]
     del args.profile
+    if not args.no_compilation_cache:
+        from parallelwavegan_tpu.utils.cache import enable_compilation_cache
+
+        enable_compilation_cache(args.compilation_cache)
+    del args.compilation_cache, args.no_compilation_cache
 
     logging.basicConfig(
         level=logging.DEBUG if args.verbose > 1 else
