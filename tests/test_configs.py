@@ -38,3 +38,26 @@ def test_config_wires(path):
     # training-surface keys the trainer relies on
     assert "batch_max_steps" in config
     assert "train_max_steps" in config
+
+
+def test_compilation_cache_env_resolution(tmp_path, monkeypatch):
+    """utils/cache.py: explicit dir > env (off disables) > default."""
+    from parallelwavegan_tpu.utils import cache
+
+    monkeypatch.setenv("PWG_COMPILATION_CACHE", "off")
+    assert cache.enable_compilation_cache() is None
+
+    target = str(tmp_path / "xla")
+    monkeypatch.setenv("PWG_COMPILATION_CACHE", target)
+    assert cache.enable_compilation_cache() == target
+    assert os.path.isdir(target)
+
+    explicit = str(tmp_path / "explicit")
+    # explicit argument wins over the env var
+    assert cache.enable_compilation_cache(explicit) == explicit
+
+    # reset so later tests in this process don't write cache entries
+    # into a deleted tmp dir
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", None)
