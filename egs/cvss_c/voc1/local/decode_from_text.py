@@ -86,7 +86,11 @@ def main():
         config.get("generator_type") == "DiscreteSymbolDurationGenerator")
 
     total_rtf = 0.0
+    idx = 0
     for idx, (utt_id, units) in enumerate(text.items(), 1):
+        if len(units) == 0:
+            logging.warning("skipping %s: no units", utt_id)
+            continue
         # collapse consecutive duplicates -> (codes, run lengths)
         change = np.flatnonzero(np.diff(units)) + 1
         starts = np.concatenate([[0], change])
@@ -116,7 +120,7 @@ def main():
         write_wav(os.path.join(args.outdir, f"{utt_id}_gen.wav"), fs, y)
 
     logging.info("Finished generation of %d utterances (RTF = %.03f).",
-                 idx, total_rtf / idx)
+                 idx, total_rtf / max(idx, 1))
 
 
 if __name__ == "__main__":

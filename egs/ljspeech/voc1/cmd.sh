@@ -17,9 +17,11 @@ if [ "${backend}" = "local" ]; then
     cuda_cmd="python3 ../../utils/run_jobs.py"
 else
     extra=""
-    [ "${backend}" = "slurm" ] && extra="--gpu 1"
-    [ -n "${CMD_HOSTS:-}" ] && extra="${extra} --hosts ${CMD_HOSTS}"
+    [ -n "${CMD_HOSTS:-}" ] && extra="--hosts ${CMD_HOSTS}"
     train_cmd="python3 ../../utils/run_jobs.py --backend ${backend} ${extra}"
-    cuda_cmd="python3 ../../utils/run_jobs.py --backend ${backend} ${extra}"
+    # only the accelerator command requests a device (run.pl/slurm.pl split)
+    gpu_extra=""
+    [ "${backend}" = "slurm" ] || [ "${backend}" = "queue" ] && gpu_extra="--gpu 1"
+    cuda_cmd="python3 ../../utils/run_jobs.py --backend ${backend} ${gpu_extra} ${extra}"
 fi
 export train_cmd cuda_cmd

@@ -227,19 +227,17 @@ def cmd_utt2dur(args):
     from parallelwavegan_tpu.utils.io import read_wav
 
     d = args.dir
-    recs = read_map(os.path.join(d, "wav.scp"))
-    rec_dur = {}
-    for rec, path in recs.items():
-        fs, data = read_wav(path)
-        rec_dur[rec] = len(data) / fs
     seg_path = os.path.join(d, "segments")
     out = {}
     if os.path.exists(seg_path):
+        # durations come from the segment spans: no need to decode audio
         for utt, rest in read_map(seg_path).items():
             _, start, end = rest.split()
             out[utt] = f"{float(end) - float(start):.3f}"
     else:
-        out = {rec: f"{dur:.3f}" for rec, dur in rec_dur.items()}
+        for rec, path in read_map(os.path.join(d, "wav.scp")).items():
+            fs, data = read_wav(path)
+            out[rec] = f"{len(data) / fs:.3f}"
     write_map(os.path.join(d, "utt2dur"), out)
     print(f"wrote utt2dur ({len(out)} utts)")
 
@@ -288,11 +286,10 @@ def cmd_resample(args):
     recs = read_map(os.path.join(args.src, "wav.scp"))
     new = {}
     for rec, path in recs.items():
+        # read_wav normalizes integer PCM to float32 in [-1, 1) already
         fs, data = read_wav(path)
         if fs != args.fs:
-            data = resample_poly_np(data.astype("float32") /
-                                    (32768.0 if data.dtype.kind == "i"
-                                     else 1.0), fs, args.fs)
+            data = resample_poly_np(data, fs, args.fs)
         outp = os.path.abspath(os.path.join(wav_outdir, f"{rec}.wav"))
         write_wav(outp, args.fs, data)
         new[rec] = outp

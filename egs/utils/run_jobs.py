@@ -128,26 +128,37 @@ def _expand_jobs(args):
     return jobs
 
 
-def run_local(args, echo_logs: bool = False):
-    jobs = _expand_jobs(args)
-    max_run = args.max_jobs_run or len(jobs)
+def _run_pool(jobs, max_jobs_run, echo_logs=False, what="job"):
+    """Shared bounded-concurrency pool: run (log, argv) pairs, report
+    failures after all finish. ``echo_logs`` (stdout.pl role) echoes each
+    job's log to our stdout as soon as that job completes."""
+    max_run = max_jobs_run or len(jobs)
     running, codes = [], []
+
+    def finish(log0, p0):
+        code = _finish_one(log0, p0)
+        codes.append((log0, code))
+        if echo_logs:
+            with open(log0) as fh:
+                sys.stdout.write(fh.read())
+            sys.stdout.flush()
+
     for log, cmd in jobs:
         while len(running) >= max_run:
-            log0, p0 = running.pop(0)
-            codes.append((log0, _finish_one(log0, p0)))
+            finish(*running.pop(0))
         running.append((log, _run_one(log, cmd)))
     for log0, p0 in running:
-        codes.append((log0, _finish_one(log0, p0)))
-    if echo_logs:  # stdout.pl role: job output also lands on our stdout
-        for log0, _ in codes:
-            sys.stdout.write(open(log0).read())
-        sys.stdout.flush()
+        finish(log0, p0)
     failed = [(log, c) for log, c in codes if c != 0]
     for log, c in failed:
-        print(f"run_jobs.py: job failed (code {c}), see {log}",
+        print(f"run_jobs.py: {what} failed (code {c}), see {log}",
               file=sys.stderr)
     return 1 if failed else 0
+
+
+def run_local(args, echo_logs: bool = False):
+    return _run_pool(_expand_jobs(args), args.max_jobs_run,
+                     echo_logs=echo_logs)
 
 
 def run_ssh(args):
@@ -161,49 +172,43 @@ def run_ssh(args):
     if not hosts:
         print("run_jobs.py: --backend ssh needs --hosts", file=sys.stderr)
         return 1
-    jobs = _expand_jobs(args)
     cwd = shlex.quote(os.getcwd())
-    wrapped = []
-    for n, (log, cmd) in enumerate(jobs):
-        host = hosts[n % len(hosts)]
-        remote = f"cd {cwd} && " + " ".join(shlex.quote(c) for c in cmd)
-        wrapped.append((log, ["ssh", "-o", "BatchMode=yes", host, remote]))
-    running, codes = [], []
-    max_run = args.max_jobs_run or len(wrapped)
-    for log, cmd in wrapped:
-        while len(running) >= max_run:
-            log0, p0 = running.pop(0)
-            codes.append((log0, _finish_one(log0, p0)))
-        running.append((log, _run_one(log, cmd)))
-    for log0, p0 in running:
-        codes.append((log0, _finish_one(log0, p0)))
-    failed = [(log, c) for log, c in codes if c != 0]
-    for log, c in failed:
-        print(f"run_jobs.py: ssh job failed (code {c}), see {log}",
-              file=sys.stderr)
-    return 1 if failed else 0
+    wrapped = [
+        (log, ["ssh", "-o", "BatchMode=yes", hosts[n % len(hosts)],
+               f"cd {cwd} && " + " ".join(shlex.quote(c) for c in cmd)])
+        for n, (log, cmd) in enumerate(_expand_jobs(args))
+    ]
+    return _run_pool(wrapped, args.max_jobs_run, what="ssh job")
+
+
+def _dq(s):
+    """Double-quote (not shlex single-quote) so scheduler task-id
+    variables substituted into the wrapper still expand inside quoted
+    arguments."""
+    body = (s.replace("\\", "\\\\").replace('"', '\\"')
+             .replace("$", "\\$").replace("`", "\\`"))
+    return f'"{body}"'
 
 
 def run_queue(args):
     """queue.pl role: one synchronous GridEngine submission.
 
-    Mirrors run_slurm's structure: ``qsub -sync y -b y -j y`` with
-    ``-t lo-hi`` for arrays; JOB expands to $SGE_TASK_ID inside the
-    wrapper; per-job logs via the same shell redirection."""
-    qsub = ["qsub", "-sync", "y", "-b", "y", "-j", "y",
+    Submits a SCRIPT FILE (matching the reference queue.pl — SGE's
+    ``-b y`` rejoins and re-splits argv, so a multi-word wrapper cannot
+    be passed inline) with ``-cwd -V`` so jobs keep the caller's
+    working directory and environment; ``-t lo-hi`` for arrays with
+    JOB -> $SGE_TASK_ID; per-job logs via shell redirection."""
+    import tempfile
+
+    qsub = ["qsub", "-sync", "y", "-cwd", "-V", "-j", "y",
             "-o", "/dev/null", "-e", "/dev/null"]
     if args.gpu:
         qsub += ["-l", f"gpu={args.gpu}"]
     if args.mem:
         qsub += ["-l", f"mem_free={args.mem},ram_free={args.mem}"]
 
-    def dq(s):
-        body = (s.replace("\\", "\\\\").replace('"', '\\"')
-                 .replace("$", "\\$").replace("`", "\\`"))
-        return f'"{body}"'
-
-    cmdline = " ".join(dq(c) for c in args.command)
-    log = dq(args.log)
+    cmdline = " ".join(_dq(c) for c in args.command)
+    log = _dq(args.log)
     if args.job_range is not None:
         lo, hi = args.job_range
         qsub += ["-t", f"{lo}-{hi}"]
@@ -211,11 +216,21 @@ def run_queue(args):
             qsub += ["-tc", str(args.max_jobs_run)]
         cmdline = cmdline.replace(args.job_name, "${SGE_TASK_ID}")
         log = log.replace(args.job_name, "${SGE_TASK_ID}")
-    wrapper = (
-        f"mkdir -p \"$(dirname {log})\" && ({cmdline}) > {log} 2>&1"
+    script = (
+        "#!/usr/bin/env bash\n"
+        f"mkdir -p \"$(dirname {log})\"\n"
+        f"({cmdline}) > {log} 2>&1\n"
     )
-    proc = subprocess.run(qsub + ["bash", "-c", wrapper])
-    return proc.returncode
+    with tempfile.NamedTemporaryFile(
+        "w", suffix=".sh", prefix="run_jobs_sge_", delete=False
+    ) as f:
+        f.write(script)
+        path = f.name
+    try:
+        proc = subprocess.run(qsub + [path])
+        return proc.returncode
+    finally:
+        os.unlink(path)
 
 
 def run_slurm(args):
@@ -228,12 +243,7 @@ def run_slurm(args):
         sbatch.append(f"--mem={args.mem}")
     if args.time:
         sbatch.append(f"--time={args.time}")
-    # double-quote (not shlex single-quote) so the SLURM_ARRAY_TASK_ID
-    # substitution below still expands inside quoted arguments
-    def dq(s):
-        body = (s.replace("\\", "\\\\").replace('"', '\\"')
-                 .replace("$", "\\$").replace("`", "\\`"))
-        return f'"{body}"'
+    dq = _dq
 
     cmdline = " ".join(dq(c) for c in args.command)
     log = dq(args.log)

@@ -129,8 +129,9 @@ def test_stdout_backend_echoes_job_output(tmp_path):
 
 
 def test_queue_backend_builds_sge_submission(tmp_path, monkeypatch):
-    """queue.pl role: one qsub -sync y [-t lo-hi] with $SGE_TASK_ID
-    expansion inside the wrapper."""
+    """queue.pl role: one qsub -sync y -cwd -V [-t lo-hi] submitting a
+    SCRIPT FILE (SGE -b y rejoins argv, so no inline wrapper) with
+    $SGE_TASK_ID expansion inside it."""
     import importlib.util
 
     spec = importlib.util.spec_from_file_location("run_jobs", RUN_JOBS)
@@ -140,6 +141,8 @@ def test_queue_backend_builds_sge_submission(tmp_path, monkeypatch):
 
     def fake_run(cmd, **kw):
         captured["cmd"] = cmd
+        # the script is deleted after submission: read it inside the mock
+        captured["script"] = open(cmd[-1]).read()
 
         class R:
             returncode = 0
@@ -155,9 +158,12 @@ def test_queue_backend_builds_sge_submission(tmp_path, monkeypatch):
     cmd = captured["cmd"]
     joined = " ".join(cmd)
     assert cmd[0] == "qsub" and "-sync" in cmd and "-t" in cmd
+    assert "-cwd" in cmd and "-V" in cmd
     assert "1-4" in joined and "-tc" in cmd
-    wrapper = cmd[-1]
-    assert "${SGE_TASK_ID}" in wrapper and "piece-" in wrapper
+    assert cmd[-1].endswith(".sh") and not os.path.exists(cmd[-1])
+    script = captured["script"]
+    assert "${SGE_TASK_ID}" in script and "piece-" in script
+    assert script.startswith("#!")
 
 
 def test_ssh_backend_round_robins_hosts(tmp_path, monkeypatch):
